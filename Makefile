@@ -1,0 +1,13 @@
+# Developer entry points.
+#
+# The session environment boots an axon TPU tunnel in every python process
+# (sitecustomize); for CPU-only test runs we bypass it for fast startup.
+TEST_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
+
+test:
+	$(TEST_ENV) python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+.PHONY: test bench

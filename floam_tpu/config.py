@@ -1,0 +1,206 @@
+"""Typed configuration for the TPU-native FLOAM engine.
+
+This replaces the reference's ROS parameter server + launch-file config
+(reference: launch/structor_odom.launch:9-41, read in
+src/laserProcessingNode.cpp:183-188, src/odomEstimationNode.cpp:336-348,
+src/laserMappingNode.cpp:114-119) with a single typed, immutable config tree.
+All constants that were hardcoded in the reference (keyframe thresholds at
+include/odomEstimationClass.h:114-116, crop radius at
+src/odomEstimationClass.cpp:270-275, curvature/validity thresholds in
+src/laserProcessingClass.cpp and src/odomEstimationClass.cpp, map cell sizes
+at include/laserMappingClass.h:26-33, IMU extrinsics at
+src/laserProcessingNode.cpp:196) are surfaced here.
+
+Capacity fields (``*_capacity``, ``points_per_ring``) are TPU-specific: XLA
+requires static shapes, so every variable-size structure of the reference
+(per-ring point vectors, feature clouds, maps) becomes a fixed-capacity
+padded array with a validity mask.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class LidarConfig:
+    """Sensor parameters (reference: include/lidar.h:53-85, src/lidar.cpp:25-51)."""
+
+    num_lines: int = 64
+    scan_period: float = 0.1  # seconds per revolution (SCAN_RATE 10 Hz)
+    max_distance: float = 90.0
+    min_distance: float = 0.5
+    vertical_angle: float = 2.0
+    #: static per-ring point capacity (TPU padding; HDL-64 has ~2200 pts/ring)
+    points_per_ring: int = 2304
+
+    @property
+    def max_points(self) -> int:
+        return self.num_lines * self.points_per_ring
+
+    # --- sensor presets, mirroring launch/structor_odom.launch:8-18 ---
+    @staticmethod
+    def vlp16(**kw) -> "LidarConfig":
+        return LidarConfig(num_lines=16, points_per_ring=2304, **kw)
+
+    @staticmethod
+    def hdl32(**kw) -> "LidarConfig":
+        return LidarConfig(num_lines=32, points_per_ring=2304, **kw)
+
+    @staticmethod
+    def hdl64(**kw) -> "LidarConfig":
+        return LidarConfig(num_lines=64, points_per_ring=2304, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Edge/planar feature extraction (reference: src/laserProcessingClass.cpp).
+
+    Defaults reproduce the reference's constants: curvature threshold 0.1
+    (:136), 20 edges per sector (:143), 6 sectors (:103), +-5 suppression
+    window with 0.05 adjacent-gap break (:150-167), 131-point minimum ring
+    size (:89), 11-point curvature window (:95-99).
+    """
+
+    curvature_threshold: float = 0.1
+    edges_per_sector: int = 20
+    sectors_per_ring: int = 6
+    suppression_window: int = 5
+    suppression_gap_sq: float = 0.05
+    min_ring_points: int = 131
+    curvature_half_window: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class OdomConfig:
+    """Scan-to-map odometry (reference: src/odomEstimationClass.cpp)."""
+
+    map_resolution: float = 0.4  # edge voxel leaf; surf leaf is 2x (:13-14)
+    #: robust loss: "none" | "huber" | "cauchy". The reference's launch
+    #: default is Cauchy but a bug makes it L2 (:83-91 — the CauchyLoss object
+    #: is discarded); we implement all three properly as IRLS weights.
+    loss: str = "cauchy"
+    huber_delta: float = 0.1
+    cauchy_scale: float = 0.2
+    #: outer association rounds: 12 after init decaying to 2 (:22,31,59-60)
+    max_outer_iters: int = 12
+    min_outer_iters: int = 2
+    #: inner Gauss-Newton iterations per round (Ceres max_num_iterations=4, :102)
+    inner_iters: int = 4
+    #: 5-NN association validity gate: 5th-NN sq dist < 1.0 m^2 (:154,210)
+    k_neighbors: int = 5
+    nn_radius_sq: float = 1.0
+    #: edge validity: largest cov eigenvalue > 3x middle (:179)
+    edge_eig_ratio: float = 3.0
+    #: line endpoints at centroid +- 0.1 * principal direction (:181-184)
+    line_half_length: float = 0.1
+    #: plane fit residual gate 0.2 m (:224-235)
+    plane_fit_tol: float = 0.2
+    #: keyframe gate (include/odomEstimationClass.h:114-116)
+    keyframe_min_transl: float = 0.07
+    keyframe_min_rot: float = 2.0 * math.pi / 180.0
+    #: local map crop box +-100 m around pose (:270-275)
+    crop_radius: float = 100.0
+    #: map minimum-size guard (>10 edge, >50 surf; :77)
+    min_map_edge: int = 10
+    min_map_surf: int = 50
+    #: Levenberg damping added to the 6x6 normal matrix diagonal
+    damping: float = 1e-4
+    #: NN grid cell size (must be >= sqrt(nn_radius_sq) so that a 3^3
+    #: neighborhood covers the search radius)
+    grid_cell_size: float = 1.0
+    #: max candidates gathered per grid cell
+    grid_cell_capacity: int = 16
+    # --- static capacities (TPU padding) ---
+    scan_edge_capacity: int = 4096  # downsampled edge features per scan
+    scan_surf_capacity: int = 16384  # downsampled surf features per scan
+    map_edge_capacity: int = 65536
+    map_surf_capacity: int = 131072
+    #: two-phase deskew registration (UpdatePointsToMapSelector, :34-50)
+    deskew: bool = False
+    #: match the reference's literal behavior of registering the edge cloud
+    #: as both edge and surf in the deskew initial iteration (:40; quirk 3)
+    deskew_initial_edge_as_surf: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Global full-resolution map (reference: src/laserMappingClass.cpp).
+
+    The reference's dynamically-growing vector<vector<vector<cloud>>> of
+    50 m cells (include/laserMappingClass.h:26-33) becomes a block-sparse
+    map: a host-side dict of fixed-capacity device blocks.
+    """
+
+    cell_size: float = 50.0
+    map_resolution: float = 0.4
+    #: neighborhood half-extent re-downsampled around the pose each update
+    #: (LASER_CELL_RANGE_HORIZONTAL/VERTICAL = 2, laserMappingClass.h:32-33)
+    neighbor_range: int = 2
+    #: per-block point capacity (50 m cell at 0.4 m resolution)
+    block_capacity: int = 131072
+    #: batch capacity for per-scan point binning
+    scan_capacity: int = 147456  # 64 * 2304
+
+
+@dataclasses.dataclass(frozen=True)
+class DeskewConfig:
+    """IMU handling + deskew (reference: src/dataHandler.cpp)."""
+
+    enabled: bool = False
+    #: lidar->IMU extrinsic rotation as RPY radians
+    #: (hardcoded RPY(0,0,pi) at src/laserProcessingNode.cpp:196)
+    extrinsic_rpy: Tuple[float, float, float] = (0.0, 0.0, math.pi)
+    #: reference quirk 5: Interpolate() returns the earlier sample
+    #: (dataHandler.cpp:48-50). True = proper slerp, False = nearest-before.
+    slerp: bool = True
+    #: static capacity of the per-scan IMU sample window
+    imu_window: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class ExportConfig:
+    """Trajectory/map export (reference: src/utils.cpp, odomEstimationNode.cpp:373-387)."""
+
+    directory: Optional[str] = None
+    output_downsample_size: float = 0.3
+    save_balm: bool = False
+    save_posegraph: bool = False
+    save_odom: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class FloamConfig:
+    """Top-level engine configuration."""
+
+    lidar: LidarConfig = dataclasses.field(default_factory=LidarConfig)
+    features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    odom: OdomConfig = dataclasses.field(default_factory=OdomConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    deskew: DeskewConfig = dataclasses.field(default_factory=DeskewConfig)
+    export: ExportConfig = dataclasses.field(default_factory=ExportConfig)
+
+    def replace(self, **kw) -> "FloamConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def kitti_hdl64(**odom_kw) -> "FloamConfig":
+        """KITTI odometry preset: HDL-64, no ring/time fields, no IMU."""
+        return FloamConfig(
+            lidar=LidarConfig.hdl64(min_distance=2.0, max_distance=60.0),
+            odom=OdomConfig(map_resolution=0.4, **odom_kw),
+        )
+
+    @staticmethod
+    def structor_vlp16(**odom_kw) -> "FloamConfig":
+        """Indoor VLP-16 rig preset (launch/structor_odom.launch:9-41)."""
+        return FloamConfig(
+            lidar=LidarConfig.vlp16(min_distance=0.5, max_distance=90.0),
+            odom=OdomConfig(map_resolution=0.1, deskew=True, **odom_kw),
+            deskew=DeskewConfig(enabled=True),
+        )

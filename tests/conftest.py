@@ -1,0 +1,20 @@
+"""Test harness: force CPU backend with 8 virtual devices so sharding tests
+run without TPU hardware, and enable x64 for high-precision golden checks."""
+import os
+
+# The session env sets JAX_PLATFORMS=axon (TPU tunnel); tests must run on the
+# host CPU backend with virtual devices, so hard-override.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
