@@ -1,0 +1,85 @@
+"""IRLS Gauss-Newton solver on SE(3) — the TPU-native replacement for the
+reference's per-scan Ceres problems (DENSE_QR, max 4 iterations,
+src/odomEstimationClass.cpp:92-108).
+
+Instead of materializing a dense Jacobian and QR-factorizing it, the 6x6
+normal equations H = J^T W J and b = J^T W r are accumulated with one
+einsum over all (masked) factors — an MXU-friendly reduction — and the tiny
+damped system is solved in closed form on device. Robust losses enter as
+IRLS weights recomputed every iteration (fixing reference quirk 1 where
+CauchyLoss was constructed but never attached).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OdomConfig
+from ..types import Pose
+from . import residuals as R
+from .se3 import pose_retract
+
+
+class GNStats(NamedTuple):
+    num_edge: jnp.ndarray  # () int32 valid edge factors
+    num_surf: jnp.ndarray  # () int32 valid surf factors
+    cost: jnp.ndarray  # () weighted squared residual sum
+
+
+def _accumulate(r, J, w):
+    """H += J^T diag(w) J, b += J^T diag(w) r over the factor axis."""
+    Jw = J * w[:, None]
+    H = jnp.einsum("ni,nj->ij", Jw, J)
+    b = jnp.einsum("ni,n->i", Jw, r)
+    cost = jnp.sum(w * r * r)
+    return H, b, cost
+
+
+def gn_step(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
+            cfg: OdomConfig) -> Tuple[Pose, jnp.ndarray]:
+    """One Gauss-Newton iteration on fixed associations."""
+    dtype = pose.t.dtype
+    re, Je = R.edge_residual_jacobian(pose.q, pose.t, edge)
+    rs, Js = R.surf_residual_jacobian(pose.q, pose.t, surf)
+    we = R.robust_weight(re, cfg.loss, cfg.huber_delta, cfg.cauchy_scale)
+    ws = R.robust_weight(rs, cfg.loss, cfg.huber_delta, cfg.cauchy_scale)
+    we = we * edge.valid.astype(dtype)
+    ws = ws * surf.valid.astype(dtype)
+
+    He, be, ce = _accumulate(re, Je, we)
+    Hs, bs, cs = _accumulate(rs, Js, ws)
+    H = He + Hs
+    b = be + bs
+
+    n_valid = jnp.sum(edge.valid) + jnp.sum(surf.valid)
+    damping = jnp.asarray(cfg.damping, dtype)
+    H = H + damping * jnp.eye(6, dtype=dtype)
+    delta = -jnp.linalg.solve(H, b)
+    # freeze the pose when the problem is empty/degenerate
+    ok = (n_valid >= 6) & jnp.all(jnp.isfinite(delta))
+    delta = jnp.where(ok, delta, jnp.zeros_like(delta))
+    q2, t2 = pose_retract(pose.q, pose.t, delta)
+    return Pose(q=q2, t=t2), ce + cs
+
+
+def solve_pose(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
+               cfg: OdomConfig, iters: int | None = None) -> Tuple[Pose, GNStats]:
+    """Run ``inner_iters`` GN iterations on fixed associations (the analogue
+    of one Ceres Solve with max_num_iterations=4,
+    src/odomEstimationClass.cpp:100-108)."""
+    iters = cfg.inner_iters if iters is None else iters
+
+    def body(_, carry):
+        p, _ = carry
+        return gn_step(p, edge, surf, cfg)
+
+    cost0 = jnp.asarray(0.0, pose.t.dtype)
+    pose, cost = jax.lax.fori_loop(0, iters, body, (pose, cost0))
+    stats = GNStats(
+        num_edge=jnp.sum(edge.valid.astype(jnp.int32)),
+        num_surf=jnp.sum(surf.valid.astype(jnp.int32)),
+        cost=cost,
+    )
+    return pose, stats
