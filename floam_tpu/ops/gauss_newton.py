@@ -78,8 +78,8 @@ def solve_pose(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
     cost0 = jnp.asarray(0.0, pose.t.dtype)
     pose, cost = jax.lax.fori_loop(0, iters, body, (pose, cost0))
     stats = GNStats(
-        num_edge=jnp.sum(edge.valid.astype(jnp.int32)),
-        num_surf=jnp.sum(surf.valid.astype(jnp.int32)),
+        num_edge=jnp.sum(edge.valid, dtype=jnp.int32),
+        num_surf=jnp.sum(surf.valid, dtype=jnp.int32),
         cost=cost,
     )
     return pose, stats
