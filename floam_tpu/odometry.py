@@ -151,10 +151,10 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
 # The per-scan update
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "update_map"),
+@functools.partial(jax.jit, static_argnames=("cfg", "update_map", "predict"),
                    donate_argnums=(0,))
 def odom_step(state: OdomState, edge: PointBatch, surf: PointBatch,
-              cfg: FloamConfig, update_map: bool = True
+              cfg: FloamConfig, update_map: bool = True, predict: bool = True
               ) -> Tuple[OdomState, OdomDiagnostics]:
     """One scan-to-map update (updatePointsToMap VANILLA path,
     src/odomEstimationClass.cpp:57-124).
@@ -162,7 +162,11 @@ def odom_step(state: OdomState, edge: PointBatch, surf: PointBatch,
     ``edge``/``surf`` are sensor-frame feature clouds (masked, any capacity);
     they are voxel-downsampled here as in downSamplingToMap (:137-142).
     ``update_map=False`` corresponds to the deskew INITIAL_ITERATION variant
-    that registers without touching the map (:40,63-68,117).
+    that registers without touching the map (:40,63-68,117); ``predict=False``
+    is the REFINEMENT_AND_UPDATE phase which starts Gauss-Newton from the
+    already-registered pose instead of re-applying the constant-velocity
+    model. (The reference *intends* this but its always-true condition at
+    :63 re-predicts anyway — quirk 2; we implement the intent.)
     """
     oc = cfg.odom
     dtype = state.pose.t.dtype
@@ -174,11 +178,15 @@ def odom_step(state: OdomState, edge: PointBatch, surf: PointBatch,
                           opt_count, state.opt_count)
 
     # --- constant-velocity prediction (:62-65) ---
-    qi, ti = se3.pose_inverse(state.last_pose.q, state.last_pose.t)
-    dq, dt = se3.pose_compose(qi, ti, state.pose.q, state.pose.t)
-    pq, pt = se3.pose_compose(state.pose.q, state.pose.t, dq, dt)
-    pred = Pose(q=se3.quat_normalize(pq), t=pt)
-    last_pose = state.pose
+    if predict:
+        qi, ti = se3.pose_inverse(state.last_pose.q, state.last_pose.t)
+        dq, dt = se3.pose_compose(qi, ti, state.pose.q, state.pose.t)
+        pq, pt = se3.pose_compose(state.pose.q, state.pose.t, dq, dt)
+        pred = Pose(q=se3.quat_normalize(pq), t=pt)
+        last_pose = state.pose
+    else:
+        pred = state.pose
+        last_pose = state.last_pose
 
     # --- feature downsample (:73-75; leaf = res for edge, 2x for surf) ---
     e_xyz, e_mask, _ = voxel.voxel_downsample(

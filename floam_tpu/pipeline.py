@@ -1,0 +1,157 @@
+"""Host-side pipeline driver.
+
+The reference runs three OS processes chained over ROS topics with worker
+threads polling mutex-guarded queues at 2 ms (laserProcessingNode /
+odomEstimationNode / laserMappingNode; SURVEY.md section 2 C8-C10). Here the
+whole front-end — deskew, feature extraction, downsampling, scan-to-map
+registration, local-map maintenance — is ONE jitted device program per scan;
+this module is only the thin host loop around it: streaming input, state
+carry, trajectory recording, timing telemetry, and export triggers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import odometry
+from .config import FloamConfig
+from .ops import deskew as deskew_ops
+from .ops import features
+from .types import OdomState, PointBatch, Pose, RingScan
+
+
+def _center_times(scan: RingScan) -> RingScan:
+    """Re-base per-point times to the scan center (CenterTime,
+    src/laserProcessingNode.cpp:65-78) so the phase-1 registration of a
+    skewed cloud lands on the mid-sweep pose and the velocity estimate used
+    for deskew is unbiased."""
+    t = scan.time
+    big = jnp.asarray(jnp.inf, t.dtype)
+    tmin = jnp.min(jnp.where(scan.mask, t, big))
+    tmax = jnp.max(jnp.where(scan.mask, t, -big))
+    has = jnp.any(scan.mask)
+    center = jnp.where(has, 0.5 * (tmin + tmax), 0.0)
+    return scan._replace(time=t - center)
+
+
+def _features_from_scan(scan: RingScan, cfg: FloamConfig
+                        ) -> Tuple[PointBatch, PointBatch]:
+    scan = _center_times(scan)
+    edge_mask, surf_mask = features.extract_features(scan, cfg.features)
+    flat = scan.xyz.reshape(-1, 3)
+    flat_time = scan.time.reshape(-1)
+    return (
+        PointBatch(xyz=flat, mask=edge_mask.reshape(-1), time=flat_time),
+        PointBatch(xyz=flat, mask=surf_mask.reshape(-1), time=flat_time),
+    )
+
+
+def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig):
+    """Feature extraction + scan-to-map registration as one program.
+
+    With cfg.odom.deskew, runs the reference's two-phase
+    UpdatePointsToMapSelector flow (src/odomEstimationClass.cpp:34-50):
+    cheap initial registration -> constant-velocity linear deskew of the
+    feature clouds (CompensateVelocity, src/dataHandler.cpp:82-92) ->
+    full refinement with map update.
+    """
+    edge, surf = _features_from_scan(scan, cfg)
+    if not cfg.odom.deskew:
+        return odometry.odom_step(state, edge, surf, cfg)
+
+    # initial iteration: register without updating the map. Reference quirk 3
+    # passes the edge cloud as both edge and surf (:40); configurable.
+    surf0 = edge if cfg.odom.deskew_initial_edge_as_surf else surf
+    state1, _ = odometry.odom_step(state, edge, surf0, cfg, update_map=False)
+    vel_world = odometry.get_velocity(state1, cfg.lidar.scan_period)
+    # rotate into the sensor frame before correcting sensor-frame points
+    # (the reference applies the world-frame velocity directly,
+    # src/dataHandler.cpp:87 — correct only at small accumulated rotation;
+    # we implement the intent)
+    from .ops import se3
+    vel = se3.quat_rotate(se3.quat_conj(state1.pose.q)[None, :],
+                          vel_world[None, :])[0]
+    edge_d = deskew_ops.compensate_velocity(edge, vel)
+    surf_d = deskew_ops.compensate_velocity(surf, vel)
+    # refinement: start from the registered pose, no re-prediction
+    # (REFINEMENT_AND_UPDATE intent, :63-68), map update keyframe-gated.
+    return odometry.odom_step(state1, edge_d, surf_d, cfg, predict=False)
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    stamp: float
+    pose_q: np.ndarray  # (4,) wxyz
+    pose_t: np.ndarray  # (3,)
+    is_keyframe: bool
+
+
+class Pipeline:
+    """Streaming SLAM front-end (the analogue of running the reference's
+    laserProcessing + odomEstimation nodes, single process, one device)."""
+
+    def __init__(self, cfg: FloamConfig, dtype=jnp.float32,
+                 collect_clouds: bool = False):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.state = odometry.init_state(cfg, dtype)
+        self._step = jax.jit(
+            functools.partial(full_step, cfg=cfg), donate_argnums=(0,))
+        self.frames: List[FrameRecord] = []
+        self.collect_clouds = collect_clouds
+        self.clouds: List[np.ndarray] = []  # filtered feature clouds (world)
+        self._times_ms: List[float] = []
+        self._initialized = False
+
+    def process(self, scan: RingScan, stamp: float = 0.0) -> FrameRecord:
+        t0 = time.perf_counter()
+        if not self._initialized:
+            edge, surf = _features_from_scan(scan, self.cfg)
+            self.state = odometry.init_map(self.state, edge, surf, self.cfg)
+            self._initialized = True
+            rec = FrameRecord(stamp, np.array([1.0, 0, 0, 0]), np.zeros(3),
+                              True)
+        else:
+            self.state, diag = self._step(self.state, scan)
+            rec = FrameRecord(
+                stamp,
+                np.asarray(self.state.pose.q),
+                np.asarray(self.state.pose.t),
+                bool(diag.is_keyframe),
+            )
+        self._times_ms.append((time.perf_counter() - t0) * 1e3)
+        self.frames.append(rec)
+        if self.collect_clouds:
+            from .ops import se3
+            edge, surf = _features_from_scan(scan, self.cfg)
+            pts = np.concatenate(
+                [edge.to_numpy_valid(), surf.to_numpy_valid()])
+            q = jnp.asarray(rec.pose_q, self.dtype)
+            t = jnp.asarray(rec.pose_t, self.dtype)
+            self.clouds.append(
+                np.asarray(se3.quat_rotate(q[None], jnp.asarray(pts)) + t))
+        return rec
+
+    # --- telemetry (the reference logged avg ms/frame + speed,
+    #     odomEstimationNode.cpp:226-234) ---
+    @property
+    def avg_ms_per_frame(self) -> float:
+        if not self._times_ms:
+            return 0.0
+        return float(np.mean(self._times_ms[1:])) if len(self._times_ms) > 1 \
+            else self._times_ms[0]
+
+    def trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(stamps (N,), quats (N,4) wxyz, trans (N,3))."""
+        st = np.array([f.stamp for f in self.frames])
+        qs = np.stack([f.pose_q for f in self.frames]) if self.frames else \
+            np.zeros((0, 4))
+        ts = np.stack([f.pose_t for f in self.frames]) if self.frames else \
+            np.zeros((0, 3))
+        return st, qs, ts
