@@ -1,0 +1,190 @@
+"""Trajectory/map exporters — byte-compatible with the reference's interop
+formats (they are the handoff surface to BALM / g2o / lio_sam back-ends):
+
+  * g2o pose graph + per-keyframe dirs   -> SavePosegraph (src/utils.cpp:3-78)
+  * per-scan <stamp>.pcd + .odom 4x4     -> SaveOdom (src/utils.cpp:81-106)
+  * BALM alidarPose.csv + full<i>.pcd    -> SavePosesHomogeneousBALM
+                                            (src/odomEstimationNode.cpp:97-121)
+  * merged + downsampled map PCDs        -> SaveMerged
+                                            (src/odomEstimationNode.cpp:66-96)
+  * KITTI / TUM trajectory text formats  (new; required by the benchmark
+                                          harness, absent in the reference)
+
+Unlike the reference (exit-only dump of an unbounded in-RAM Dump struct,
+odomEstimationNode.cpp:284-287), writers here can be called incrementally.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .pcd import write_pcd
+
+
+def _pose_matrix(q_wxyz: np.ndarray, t: np.ndarray) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from ..ops import se3
+
+    m = np.eye(4)
+    m[:3, :3] = np.asarray(se3.quat_to_mat(jnp.asarray(q_wxyz, jnp.float64)))
+    m[:3, 3] = t
+    return m
+
+
+def save_posegraph(directory, quats, trans, stamps,
+                   clouds: Optional[Sequence[np.ndarray]] = None) -> None:
+    """g2o text format exactly as the reference writes it: VERTEX_SE3:QUAT
+    lines (x y z qx qy qz qw), FIX 0, chained EDGE_SE3:QUAT with the upper
+    triangle of a fixed diagonal information matrix
+    (variances 0.01 trans / 0.001 rot; utils.cpp:46-55)."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    mats = [_pose_matrix(q, t) for q, t in zip(quats, trans)]
+    lines = []
+    for i, (q, t) in enumerate(zip(quats, trans)):
+        # file order: x y z qx qy qz qw
+        lines.append(
+            f"VERTEX_SE3:QUAT {i} {t[0]} {t[1]} {t[2]} "
+            f"{q[1]} {q[2]} {q[3]} {q[0]}")
+    lines.append("FIX 0")
+    if len(mats) <= 1:
+        import sys
+
+        print("cannot save a pose graph with only 1 vertex", file=sys.stderr)
+    info = np.diag([0.01, 0.01, 0.01, 0.001, 0.001, 0.001])
+    info_upper = " ".join(
+        str(info[i, j]) for i in range(6) for j in range(i, 6))
+    for i in range(len(mats) - 1):
+        rel = np.linalg.inv(mats[i]) @ mats[i + 1]
+        tt = rel[:3, 3]
+        qq = _mat_to_quat_xyzw(rel[:3, :3])
+        lines.append(
+            f"EDGE_SE3:QUAT {i} {i + 1} {tt[0]} {tt[1]} {tt[2]} "
+            f"{qq[0]} {qq[1]} {qq[2]} {qq[3]} {info_upper}")
+    (directory / "graph.g2o").write_text("\n".join(lines) + "\n")
+
+    if clouds is not None:
+        for i, cloud in enumerate(clouds):
+            kf_dir = directory / f"{i:06d}"
+            kf_dir.mkdir(parents=True, exist_ok=True)
+            write_pcd(kf_dir / "cloud.pcd", cloud[:, :3],
+                      cloud[:, 3] if cloud.shape[1] > 3 else None)
+            sec = int(stamps[i])
+            nsec = int(round((stamps[i] - sec) * 1e9))
+            with open(kf_dir / "data", "w") as f:
+                f.write(f"stamp {sec} {nsec}\n")
+                f.write("estimate\n")
+                _write_matrix(f, mats[i])
+                f.write("odom\n")
+                _write_matrix(f, mats[i])
+                f.write("accum_distance -1\n")
+                f.write(f"id {i}\n")
+
+
+def _write_matrix(f, m: np.ndarray) -> None:
+    for row in m:
+        f.write(" ".join(f"{v:.9g}" for v in row) + "\n")
+
+
+def _mat_to_quat_xyzw(R: np.ndarray) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from ..ops import se3
+
+    q = np.asarray(se3.mat_to_quat(jnp.asarray(R, jnp.float64)))
+    return np.array([q[1], q[2], q[3], q[0]])
+
+
+def save_odom(directory, quats, trans, stamps,
+              clouds: Sequence[np.ndarray]) -> None:
+    """Per-scan <sec>_<nsec>.pcd + 4x4 .odom text (SaveOdom, utils.cpp:81-106)."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    for q, t, stamp, cloud in zip(quats, trans, stamps, clouds):
+        sec = int(stamp)
+        nsec = int(round((stamp - sec) * 1e9))
+        base = directory / f"{sec:.6f}_{nsec:.6f}"
+        write_pcd(str(base) + ".pcd", cloud[:, :3],
+                  cloud[:, 3] if cloud.shape[1] > 3 else None)
+        m = _pose_matrix(q, t)
+        with open(str(base) + ".odom", "w") as f:
+            for row in m:
+                f.write(" ".join(str(v) for v in row) + "\n")
+
+
+def save_balm(directory, quats, trans, stamps,
+              clouds: Sequence[np.ndarray]) -> None:
+    """BALM export: alidarPose.csv rows of the 4x4 pose with the stamp in
+    the last slot, plus full<i>.pcd clouds
+    (SavePosesHomogeneousBALM, odomEstimationNode.cpp:97-121)."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    with open(directory / "alidarPose.csv", "w") as f:
+        for i, (q, t, stamp) in enumerate(zip(quats, trans, stamps)):
+            m = _pose_matrix(q, t)
+            f.write(f"{m[0,0]},{m[0,1]},{m[0,2]},{m[0,3]},\n")
+            f.write(f"{m[1,0]},{m[1,1]},{m[1,2]},{m[1,3]},\n")
+            f.write(f"{m[2,0]},{m[2,1]},{m[2,2]},{m[2,3]},\n")
+            f.write(f"{m[3,0]},{m[3,1]},{m[3,2]},{stamp},\n")
+    for i, cloud in enumerate(clouds):
+        write_pcd(directory / f"full{i}.pcd", cloud[:, :3],
+                  cloud[:, 3] if cloud.shape[1] > 3 else None)
+
+
+def save_merged(directory, clouds_world: Sequence[np.ndarray],
+                downsample_leaf: float = 0.3) -> None:
+    """Merged full map + voxel-downsampled version
+    (SaveMerged, odomEstimationNode.cpp:66-96)."""
+    import jax.numpy as jnp
+
+    from ..ops import voxel
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    if not clouds_world:
+        return
+    merged = np.concatenate([c[:, :3] for c in clouds_world])
+    write_pcd(directory / "merged.pcd", merged)
+    cap = max(1024, len(merged))
+    out_xyz, out_mask, _ = voxel.voxel_downsample(
+        jnp.asarray(merged), jnp.ones(len(merged), bool), downsample_leaf,
+        cap)
+    ds = np.asarray(out_xyz)[np.asarray(out_mask)]
+    write_pcd(directory / "merged_downsampled.pcd", ds)
+
+
+def save_kitti_trajectory(path, quats, trans) -> None:
+    """KITTI odometry format: 12 numbers per line (3x4 row-major pose)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for q, t in zip(quats, trans):
+            m = _pose_matrix(q, t)[:3].reshape(-1)
+            f.write(" ".join(f"{v:.9e}" for v in m) + "\n")
+
+
+def save_tum_trajectory(path, stamps, quats, trans) -> None:
+    """TUM format: stamp tx ty tz qx qy qz qw."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for s, q, t in zip(stamps, quats, trans):
+            f.write(f"{s:.9f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                    f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n")
+
+
+def load_kitti_trajectory(path) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (quats (N,4) wxyz, trans (N,3))."""
+    import jax.numpy as jnp
+
+    from ..ops import se3
+
+    data = np.loadtxt(path).reshape(-1, 3, 4)
+    R = data[:, :, :3]
+    t = data[:, :, 3]
+    q = np.asarray(se3.mat_to_quat(jnp.asarray(R)))
+    return q, t

@@ -1,0 +1,136 @@
+"""Global full-resolution map maintenance.
+
+TPU-native redesign of the reference's LaserMappingClass
+(src/laserMappingClass.cpp): its dynamically-growing
+vector<vector<vector<PointCloud::Ptr>>> of 50 m cells with origin-index
+shifting (:34-145) becomes a block-sparse store — a host dict of 50 m
+blocks — fed by a device kernel that transforms the scan, computes the
+height-colored visualization intensity (:165), bins points to blocks, and
+re-voxelizes the neighborhood of the pose as one batched program
+(the reference voxel-filters the 5x5x5 neighborhood cell by cell, :175-184).
+
+The reference's getMap() republishes the ENTIRE concatenated map every
+frame (:188-200, flagged O(whole map) in SURVEY.md section 3.3); here
+export is on demand and incremental.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MappingConfig
+from .ops import se3, voxel
+from .types import Pose
+
+
+@functools.partial(jax.jit, static_argnames=("cell_size",))
+def _bin_points(xyz, intensity, mask, pose_q, pose_t, cell_size: float):
+    """Transform to world, color by local height, compute block ids.
+
+    Mirrors updateCurrentPointsToMap's per-point loop (:157-172): block index
+    uses floor(x / cell + 0.5) (cell-centered bins).
+    """
+    world = se3.quat_rotate(pose_q[None, :], xyz) + pose_t
+    # visualization intensity from *sensor-frame* height (:165)
+    inten = jnp.minimum(1.0, jnp.maximum(xyz[:, 2] + 2.0, 0.0) / 5.0)
+    block = jnp.floor(world / cell_size + 0.5).astype(jnp.int32)
+    return world, inten, block
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _revoxelize_block(xyz, mask, leaf, capacity: int):
+    out_xyz, out_mask, _ = voxel.voxel_downsample(xyz, mask, leaf, capacity)
+    return out_xyz, out_mask
+
+
+class GlobalMap:
+    """Block-sparse world map (host store + device kernels)."""
+
+    def __init__(self, cfg: MappingConfig):
+        self.cfg = cfg
+        #: (bx, by, bz) -> (n, 4) float32 [x, y, z, intensity]
+        self.blocks: Dict[Tuple[int, int, int], np.ndarray] = {}
+
+    # -- update (one (cloud, pose) pair, reference :148-186) -------------
+    def update(self, xyz, pose: Pose, intensity=None, mask=None) -> None:
+        xyz = jnp.asarray(xyz)
+        n = xyz.shape[0]
+        if mask is None:
+            mask = jnp.ones((n,), bool)
+        if intensity is None:
+            intensity = jnp.zeros((n,), xyz.dtype)
+        world, inten, block = _bin_points(
+            xyz, intensity, mask, pose.q, pose.t, self.cfg.cell_size)
+        world = np.asarray(world)
+        inten = np.asarray(inten)
+        block = np.asarray(block)
+        m = np.asarray(mask)
+        world, inten, block = world[m], inten[m], block[m]
+
+        # host scatter into blocks (grouped, one concat per touched block)
+        keys, inverse = np.unique(block, axis=0, return_inverse=True)
+        for bi, key in enumerate(map(tuple, keys)):
+            sel = inverse == bi
+            pts = np.concatenate([world[sel], inten[sel, None]],
+                                 axis=1).astype(np.float32)
+            if key in self.blocks:
+                self.blocks[key] = np.concatenate([self.blocks[key], pts])
+            else:
+                self.blocks[key] = pts
+
+        self._revoxelize_neighborhood(pose)
+
+    def _revoxelize_neighborhood(self, pose: Pose) -> None:
+        """Re-downsample the (2r+1)^3 blocks around the pose (:175-184)."""
+        r = self.cfg.neighbor_range
+        c = np.floor(np.asarray(pose.t) / self.cfg.cell_size + 0.5).astype(int)
+        todo = []
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                for dz in range(-r, r + 1):
+                    key = (c[0] + dx, c[1] + dy, c[2] + dz)
+                    if key in self.blocks and len(self.blocks[key]) > 0:
+                        todo.append(key)
+        if not todo:
+            return
+        cap = self.cfg.block_capacity
+        B = len(todo)
+        stack = np.zeros((B, cap, 3), np.float32)
+        inten = np.zeros((B, cap), np.float32)
+        mask = np.zeros((B, cap), bool)
+        for i, key in enumerate(todo):
+            pts = self.blocks[key][:cap]
+            stack[i, :len(pts)] = pts[:, :3]
+            inten[i, :len(pts)] = pts[:, 3]
+            mask[i, :len(pts)] = True
+        # batched device re-voxelize; intensity carried via extra channel
+        out_xyz, out_mask, out_extra = jax.vmap(
+            lambda x, m, e: voxel.voxel_downsample(
+                x, m, self.cfg.map_resolution, cap, extra=e)
+        )(jnp.asarray(stack), jnp.asarray(mask), jnp.asarray(inten))
+        out_xyz = np.asarray(out_xyz)
+        out_mask = np.asarray(out_mask)
+        out_extra = np.asarray(out_extra)
+        for i, key in enumerate(todo):
+            m = out_mask[i]
+            self.blocks[key] = np.concatenate(
+                [out_xyz[i][m], out_extra[i][m]], axis=1).astype(np.float32)
+
+    # -- export (getMap, :188-200) ---------------------------------------
+    def get_map(self) -> np.ndarray:
+        """(N, 4) concatenation of all blocks [x, y, z, intensity]."""
+        if not self.blocks:
+            return np.zeros((0, 4), np.float32)
+        return np.concatenate(list(self.blocks.values()))
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.blocks)
+
+    @property
+    def num_points(self) -> int:
+        return sum(len(v) for v in self.blocks.values())
