@@ -151,11 +151,10 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
 # The per-scan update
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "update_map", "predict"),
-                   donate_argnums=(0,))
-def odom_step(state: OdomState, edge: PointBatch, surf: PointBatch,
-              cfg: FloamConfig, update_map: bool = True, predict: bool = True
-              ) -> Tuple[OdomState, OdomDiagnostics]:
+def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
+                   cfg: FloamConfig, update_map: bool = True,
+                   predict: bool = True
+                   ) -> Tuple[OdomState, OdomDiagnostics]:
     """One scan-to-map update (updatePointsToMap VANILLA path,
     src/odomEstimationClass.cpp:57-124).
 
@@ -256,6 +255,13 @@ def odom_step(state: OdomState, edge: PointBatch, surf: PointBatch,
         cost=stats.cost,
     )
     return new_state, diag
+
+
+#: jitted entry point (the un-jitted ``odom_step_impl`` composes under
+#: vmap/shard_map for the multi-sequence and multi-chip paths)
+odom_step = functools.partial(
+    jax.jit, static_argnames=("cfg", "update_map", "predict"),
+    donate_argnums=(0,))(odom_step_impl)
 
 
 def get_velocity(state: OdomState, scan_period: float) -> jnp.ndarray:
