@@ -63,12 +63,13 @@ def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig):
     """
     edge, surf = _features_from_scan(scan, cfg)
     if not cfg.odom.deskew:
-        return odometry.odom_step(state, edge, surf, cfg)
+        return odometry.odom_step_impl(state, edge, surf, cfg)
 
     # initial iteration: register without updating the map. Reference quirk 3
     # passes the edge cloud as both edge and surf (:40); configurable.
     surf0 = edge if cfg.odom.deskew_initial_edge_as_surf else surf
-    state1, _ = odometry.odom_step(state, edge, surf0, cfg, update_map=False)
+    state1, _ = odometry.odom_step_impl(state, edge, surf0, cfg,
+                                        update_map=False)
     vel_world = odometry.get_velocity(state1, cfg.lidar.scan_period)
     # rotate into the sensor frame before correcting sensor-frame points
     # (the reference applies the world-frame velocity directly,
@@ -81,7 +82,8 @@ def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig):
     surf_d = deskew_ops.compensate_velocity(surf, vel)
     # refinement: start from the registered pose, no re-prediction
     # (REFINEMENT_AND_UPDATE intent, :63-68), map update keyframe-gated.
-    return odometry.odom_step(state1, edge_d, surf_d, cfg, predict=False)
+    return odometry.odom_step_impl(state1, edge_d, surf_d, cfg,
+                                   predict=False)
 
 
 @dataclasses.dataclass
