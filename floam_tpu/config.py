@@ -112,15 +112,25 @@ class OdomConfig:
     #: Levenberg damping added to the 6x6 normal matrix diagonal
     damping: float = 1e-4
     #: NN grid cell size (must be >= sqrt(nn_radius_sq) so that a 3^3
-    #: neighborhood covers the search radius)
+    #: neighborhood covers the search radius) — used by the generic sorted
+    #: -grid search in ops.knn; the odometry hot path uses the voxel hash
+    #: table (ops.voxelmap) whose cell == the map voxel leaf
     grid_cell_size: float = 1.0
-    #: max candidates gathered per grid cell
+    #: max candidates gathered per grid cell (ops.knn path)
     grid_cell_capacity: int = 16
-    # --- static capacities (TPU padding) ---
+    #: cap on per-voxel running-mean weight in the hash map (bounds how
+    #: slowly a voxel centroid adapts; the reference re-averages the whole
+    #: map every keyframe instead)
+    voxel_count_cap: float = 25.0
+    # --- static capacities (TPU padding). *_table values are hash-table
+    #     bucket counts (power of 2, x4 ways each; keep expected voxel
+    #     occupancy under ~1 cell/bucket so bucket overflow is negligible)
     scan_edge_capacity: int = 4096  # downsampled edge features per scan
     scan_surf_capacity: int = 16384  # downsampled surf features per scan
-    map_edge_capacity: int = 65536
-    map_surf_capacity: int = 131072
+    scan_edge_table: int = 8192
+    scan_surf_table: int = 16384
+    map_edge_table: int = 32768
+    map_surf_table: int = 131072
     #: two-phase deskew registration (UpdatePointsToMapSelector, :34-50)
     deskew: bool = False
     #: match the reference's literal behavior of registering the edge cloud

@@ -108,10 +108,12 @@ class VoxelGrid(NamedTuple):
 class MapState(NamedTuple):
     """Local feature map for scan-to-map odometry (replaces the reference's
     laserCloudCornerMap/laserCloudSurfMap + two kd-trees,
-    src/odomEstimationClass.cpp:9-18,78-79)."""
+    src/odomEstimationClass.cpp:9-18,78-79). Each side is a
+    ops.voxelmap.VoxelHashMap (voxel-centroid hash table that doubles as
+    the NN structure)."""
 
-    edge: VoxelGrid
-    surf: VoxelGrid
+    edge: "VoxelHashMap"  # type: ignore[name-defined]  # noqa: F821
+    surf: "VoxelHashMap"  # type: ignore[name-defined]  # noqa: F821
 
 
 class OdomState(NamedTuple):

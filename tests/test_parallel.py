@@ -38,7 +38,7 @@ def test_batched_matches_single(rng):
     surfs = _make_batch_inputs(rng, B, n=2048)
     # seed maps per sequence
     seeded = jax.vmap(
-        lambda st, e, s: odometry.init_map(st, e, s, cfg)
+        lambda st, e, s: odometry.init_map_impl(st, e, s, cfg)
     )(states, edges, surfs)
     out_b, diag_b = batched_odom_step(seeded, edges, surfs, cfg)
 
@@ -61,7 +61,7 @@ def test_sharded_odom_step_runs(rng):
     edges = _make_batch_inputs(rng, B)
     surfs = _make_batch_inputs(rng, B, n=2048)
     states = jax.vmap(
-        lambda st, e, s: odometry.init_map(st, e, s, cfg)
+        lambda st, e, s: odometry.init_map_impl(st, e, s, cfg)
     )(states, edges, surfs)
     step = make_sharded_odom_step(mesh, cfg)
     spec = NamedSharding(mesh, P("dp"))
