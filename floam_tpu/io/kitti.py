@@ -33,9 +33,10 @@ def _load_native():
     if _native is not None:
         return _native or None
     try:
-        from ..native import loader as native_loader
+        from .. import native as native_mod
 
-        _native = native_loader
+        native_mod.load()
+        _native = native_mod
     except Exception:
         _native = False
     return _native or None
