@@ -1,0 +1,110 @@
+"""Benchmark: steady-state scan-to-map odometry throughput on one TPU chip.
+
+Workload: synthetic HDL-64 sequence (64 rings x 1800 azimuth steps,
+~115k points/scan after range gating) through the full jitted per-scan
+program — feature extraction, hash-table voxel downsample, grid 5-NN
+association, IRLS Gauss-Newton, keyframe-gated map update — i.e. the
+reference's laserProcessing + odomEstimation pipeline
+(BASELINE.json config 2).
+
+Prints ONE JSON line:
+  {"metric": "scans_per_sec_per_chip", "value": N, "unit": "scans/s",
+   "vs_baseline": N / 20.0, ...}
+vs_baseline compares against upstream F-LOAM's ~20 Hz desktop-CPU
+processing rate (BASELINE.md; the repo itself publishes no numbers).
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+CACHE = Path(__file__).parent / ".bench_scans.npz"
+NUM_SCANS = 12
+REPS = 4
+
+
+def get_scans(cfg):
+    from floam_tpu import sim
+
+    if CACHE.exists():
+        data = np.load(CACHE)
+        if data["xyz"].shape[0] == NUM_SCANS:
+            return ([dict(xyz=data["xyz"][i], time=data["time"][i],
+                          mask=data["mask"][i]) for i in range(NUM_SCANS)],
+                    data["gt_t"])
+    world = sim.World.room(size=50.0, height=6.0, num_poles=30, seed=0)
+    gt = sim.spiral_trajectory(NUM_SCANS, step=0.15, yaw_rate=0.02,
+                               center_z=1.5)
+    xyzs, times, masks, gts = [], [], [], []
+    for i, (q, t) in enumerate(gt):
+        s = sim.simulate_scan(world, q, t, cfg.lidar, azimuth_steps=1800,
+                              seed=i)
+        xyzs.append(np.asarray(s.xyz, np.float32))
+        times.append(np.asarray(s.time, np.float32))
+        masks.append(np.asarray(s.mask))
+        gts.append(t)
+    np.savez_compressed(CACHE, xyz=np.stack(xyzs), time=np.stack(times),
+                        mask=np.stack(masks), gt_t=np.stack(gts))
+    return ([dict(xyz=xyzs[i], time=times[i], mask=masks[i])
+             for i in range(NUM_SCANS)], np.stack(gts))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent / ".jax_cache"))
+    import jax.numpy as jnp
+
+    from floam_tpu.config import FloamConfig
+    from floam_tpu.pipeline import Pipeline
+    from floam_tpu.types import RingScan
+
+    cfg = FloamConfig.kitti_hdl64()
+    raw_scans, gt_t = get_scans(cfg)
+    R, C = cfg.lidar.num_lines, cfg.lidar.points_per_ring
+    scans = [RingScan(xyz=jnp.asarray(s["xyz"]),
+                      intensity=jnp.zeros((R, C), jnp.float32),
+                      time=jnp.asarray(s["time"]),
+                      mask=jnp.asarray(s["mask"])) for s in raw_scans]
+
+    pipe = Pipeline(cfg, dtype=jnp.float32)
+    # warmup: init + compile + let opt_count decay to steady state
+    for i, s in enumerate(scans):
+        pipe.process(s, 0.1 * i)
+    jax.block_until_ready(pipe.state.pose.t)
+
+    t0 = time.perf_counter()
+    n = 0
+    for rep in range(REPS):
+        for i, s in enumerate(scans[1:], start=1):
+            pipe.process(s, 0.1 * i)
+            n += 1
+    jax.block_until_ready(pipe.state.pose.t)
+    dt = time.perf_counter() - t0
+    scans_per_sec = n / dt
+
+    # accuracy sanity on the warmup trajectory (relative to first pose)
+    est_t = np.stack([f.pose_t for f in pipe.frames[:NUM_SCANS]])
+    gt_rel = gt_t - gt_t[0]
+    ate = float(np.sqrt(np.mean(np.sum((est_t - gt_rel) ** 2, axis=1))))
+
+    print(json.dumps({
+        "metric": "scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 20.0, 2),
+        "ms_per_scan": round(dt / n * 1e3, 2),
+        "synthetic_ate_m": round(ate, 4),
+        "points_per_scan": int(raw_scans[0]["mask"].sum()),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
