@@ -65,12 +65,16 @@ def _edge_offsets(leaf: float, radius: float):
 
 def init_state(cfg: FloamConfig, dtype=jnp.float32) -> OdomState:
     oc = cfg.odom
+    edge_vm = voxelmap.empty(oc.map_edge_table, _edge_leaf(oc), dtype)
+    surf_vm = voxelmap.empty(oc.map_surf_table, _surf_leaf(oc), dtype)
     return OdomState(
         pose=Pose.identity(dtype),
         last_pose=Pose.identity(dtype),
         map=MapState(
-            edge=voxelmap.empty(oc.map_edge_table, _edge_leaf(oc), dtype),
-            surf=voxelmap.empty(oc.map_surf_table, _surf_leaf(oc), dtype),
+            edge=edge_vm,
+            surf=surf_vm,
+            edge_view=voxelmap.pack_query_view(edge_vm),
+            surf_view=voxelmap.pack_query_view(surf_vm),
         ),
         opt_count=jnp.asarray(oc.min_outer_iters, jnp.int32),
         last_kf_pose=Pose.identity(dtype),
@@ -91,7 +95,9 @@ def init_map_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
     sm = voxelmap.insert(state.map.surf, surf.xyz.astype(dtype), surf.mask,
                          oc.voxel_count_cap)
     return state._replace(
-        map=MapState(edge=em, surf=sm),
+        map=MapState(edge=em, surf=sm,
+                     edge_view=voxelmap.pack_query_view(em),
+                     surf_view=voxelmap.pack_query_view(sm)),
         opt_count=jnp.asarray(oc.max_outer_iters, jnp.int32),
     )
 
@@ -114,15 +120,17 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
     s_offs = _edge_offsets(_surf_leaf(oc), radius)
 
     pw_edge = se3.quat_rotate(pose.q[None, :], edge_xyz) + pose.t
-    nn_e, d2_e = voxelmap.query_knn(map_state.edge, pw_edge, edge_mask,
-                                    e_offs, k=oc.k_neighbors)
+    nn_e, d2_e = voxelmap.query_knn(map_state.edge_view, pw_edge, edge_mask,
+                                    e_offs, k=oc.k_neighbors,
+                                    leaf=map_state.edge.leaf)
     ef = residuals.edge_association(edge_xyz, nn_e, d2_e, oc.nn_radius_sq,
                                     oc.edge_eig_ratio, oc.line_half_length)
     ef = ef._replace(valid=ef.valid & edge_mask)
 
     pw_surf = se3.quat_rotate(pose.q[None, :], surf_xyz) + pose.t
-    nn_s, d2_s = voxelmap.query_knn(map_state.surf, pw_surf, surf_mask,
-                                    s_offs, k=oc.k_neighbors)
+    nn_s, d2_s = voxelmap.query_knn(map_state.surf_view, pw_surf, surf_mask,
+                                    s_offs, k=oc.k_neighbors,
+                                    leaf=map_state.surf.leaf)
     sf = residuals.surf_association(surf_xyz, nn_s, d2_s, oc.nn_radius_sq,
                                     oc.plane_fit_tol)
     sf = sf._replace(valid=sf.valid & surf_mask)
@@ -215,7 +223,9 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
             sm = voxelmap.insert(ms.surf, s_world, s_mask, oc.voxel_count_cap)
             em = voxelmap.crop(em, new_pose.t, oc.crop_radius)
             sm = voxelmap.crop(sm, new_pose.t, oc.crop_radius)
-            return MapState(edge=em, surf=sm)
+            return MapState(edge=em, surf=sm,
+                            edge_view=voxelmap.pack_query_view(em),
+                            surf_view=voxelmap.pack_query_view(sm))
 
         new_map = jax.lax.cond(is_kf, do_update, lambda ms: ms, state.map)
         new_kf_pose = jax.tree_util.tree_map(

@@ -6,28 +6,39 @@ One bucketed hash table replaces three reference structures at once:
   * the per-keyframe VoxelGrid re-downsampling of the whole map (:289-292),
   * the per-scan KdTreeFLANN rebuilds + 5-NN queries (:78-79,153,206).
 
-Design (TPU-first): H buckets x W ways of per-voxel running centroids
-(sum, count, full hash key). Everything is O(points) scatter/gather or
-O(table) vectorized — **no sorts and no binary searches** on the hot path
-(profiling on a v5e chip showed argsort-based voxelization and
-searchsorted-based grid NN dominate any sorted-structure design at
-~10 ms/scan):
+Layout and algorithms are driven by measured v5e cost model (see
+docs/PERFORMANCE.md): XLA TPU gathers/scatters are fast for 1-D planes and
+2-D-indexed row gathers, but ~100x slower when the index array has a third
+dimension or the destination has a small trailing dim. Hence:
 
-  * insert: W scatter-claim rounds — each pending point tries way w of its
-    cell's bucket, claims it if empty (scatter-set, last-writer-wins breaks
-    same-batch races cleanly), verifies by gather-back, else advances to
-    the next way. Points of an already-stored cell match its key in the
-    round that reaches its way. Running mean per voxel, weight-capped (the
-    reference instead re-averages the full map every keyframe);
-  * crop: vectorized way eviction outside the +-crop_radius box, keys
-    tombstone-free (evicted ways return to EMPTY) — replaces pcl::CropBox
-    (:270-287);
-  * k-NN: direct-indexed gather of all W ways over a *statically pruned*
-    integer offset neighborhood whose cells can intersect the search ball
-    (81 cells at leaf 0.8 / radius 1.0; 179 at leaf 0.4). Exact over the
-    gate radius because map points ARE voxel centroids, one per cell, and
-    bucket overflow (> W cells per bucket) is the only loss mode —
-    negligible at <= 25% bucket load.
+  * the authoritative table is H buckets x W=4 ways stored as FLAT 1-D
+    PLANES (sx, sy, sz, count, key) — every insert/evict touches only
+    1-D scatters;
+  * a derived PACKED QUERY VIEW (H, 16) f32 — 4 ways x (cx, cy, cz, pad),
+    centroids pre-divided, empty ways pushed to +inf-like coords — is
+    rebuilt densely after map changes so the k-NN hot loop is ONE 2-D row
+    gather + pure elementwise math;
+  * bucket selection uses a LINEAR hash (k = ux*A + uy*B + uz*C mod 2^32):
+    per query only the base cell is hashed and each neighbor offset adds a
+    precomputed delta — no integer-multiply tensors at (Q, O, 3) scale.
+    Way ownership during insert still uses the murmur-mixed key
+    (ops.voxel.cell_key) for exact voxel dedup;
+  * queries do NOT verify keys: a bucket-aliased way holds a *real* map
+    centroid from a far-away cell, which simply loses the top-k by
+    distance — so the search stays exact over stored cells within the
+    pruned radius;
+  * k-NN selection packs candidate indices into the low mantissa bits of
+    the (non-negative) distances, so 5 rounds of uint-min + mask replace a
+    sort-based top_k (IEEE order == uint order for floats >= 0; the
+    2^-13 relative distance perturbation is far below the association
+    gates).
+
+Insert: W scatter-claim rounds — each pending point tries way w of its
+cell's bucket, claims it if empty (scatter-set, last-writer-wins breaks
+same-batch races cleanly), verifies by gather-back, else advances to the
+next way. Running mean per voxel, weight-capped (the reference instead
+re-averages the full map every keyframe). Bucket overflow (> W cells per
+bucket) is the only loss mode — negligible at <= 25% bucket load.
 """
 from __future__ import annotations
 
@@ -43,16 +54,22 @@ from .voxel import cell_key
 
 EMPTY_KEY = jnp.uint32(0xFFFFFFFF)  # cell_key never produces this
 NUM_WAYS = 4
+#: odd multipliers for the linear bucket hash
+_LA = np.uint32(0x9E3779B1)
+_LB = np.uint32(0x85EBCA77)
+_LC = np.uint32(0xC2B2AE3D)
+#: coordinate of empty ways in the packed view (far from any query)
+_FAR = 1e9
 
 
 class VoxelHashMap(NamedTuple):
-    """Bucketed voxel table. Shapes: sums (H*W, 3), counts (H*W,),
-    keys (H*W,) — flattened bucket-major so ways of one bucket are
-    contiguous rows."""
+    """Bucketed voxel table as flat planes of length H*W."""
 
-    sums: jnp.ndarray
+    sx: jnp.ndarray
+    sy: jnp.ndarray
+    sz: jnp.ndarray
     counts: jnp.ndarray
-    keys: jnp.ndarray
+    keys: jnp.ndarray  # uint32 murmur cell key (way ownership)
     leaf: jnp.ndarray  # () voxel edge length
 
     @property
@@ -60,7 +77,8 @@ class VoxelHashMap(NamedTuple):
         return self.counts.shape[0] // NUM_WAYS
 
     def centroids(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        c = self.sums / jnp.maximum(self.counts, 1.0)[:, None]
+        d = jnp.maximum(self.counts, 1.0)
+        c = jnp.stack([self.sx / d, self.sy / d, self.sz / d], axis=-1)
         return c, self.counts > 0
 
     def num_occupied(self) -> jnp.ndarray:
@@ -70,26 +88,35 @@ class VoxelHashMap(NamedTuple):
 def empty(num_buckets: int, leaf: float, dtype=jnp.float32) -> VoxelHashMap:
     assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be 2^k"
     HW = num_buckets * NUM_WAYS
+    # distinct buffers per plane (a shared zeros array would alias donated
+    # buffers inside jitted state updates)
     return VoxelHashMap(
-        sums=jnp.zeros((HW, 3), dtype),
+        sx=jnp.zeros((HW,), dtype),
+        sy=jnp.zeros((HW,), dtype),
+        sz=jnp.zeros((HW,), dtype),
         counts=jnp.zeros((HW,), dtype),
         keys=jnp.full((HW,), EMPTY_KEY, jnp.uint32),
         leaf=jnp.asarray(leaf, dtype),
     )
 
 
-def _bucket_of(keys: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
-    return (keys & jnp.uint32(num_buckets - 1)).astype(jnp.int32)
+def linear_key(ixyz: jnp.ndarray) -> jnp.ndarray:
+    """Linear bucket hash of integer cells (..., 3): wraps mod 2^32 and is
+    additive in the cell coordinates (enables per-offset deltas)."""
+    u = ixyz.astype(jnp.uint32)
+    return (u[..., 0] * _LA + u[..., 1] * _LB + u[..., 2] * _LC)
 
 
-def _resolve_ways(table_keys: jnp.ndarray, pkeys: jnp.ndarray,
-                  mask: jnp.ndarray, num_buckets: int
+def _bucket_of(lkeys: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
+    return (lkeys & jnp.uint32(num_buckets - 1)).astype(jnp.int32)
+
+
+def _resolve_ways(table_keys: jnp.ndarray, bucket: jnp.ndarray,
+                  pkeys: jnp.ndarray, mask: jnp.ndarray, num_buckets: int
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Assign each point a way slot in its bucket, claiming empty ways.
-
     Returns (slot per point; HW = dropped, updated table_keys)."""
     HW = num_buckets * NUM_WAYS
-    bucket = _bucket_of(pkeys, num_buckets)
     slot_out = jnp.full(pkeys.shape, HW, jnp.int32)
     pending = mask
     for w in range(NUM_WAYS):
@@ -109,30 +136,57 @@ def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
            count_cap: float = 25.0) -> VoxelHashMap:
     """Scatter points into their voxels (running mean, weight-capped)."""
     H = vm.num_buckets
-    key = cell_key(jnp.floor(xyz / vm.leaf).astype(jnp.int32))
-    slot, keys = _resolve_ways(vm.keys, key, mask, H)
-    w = (slot < H * NUM_WAYS).astype(xyz.dtype)
-    sums = vm.sums.at[slot].add(xyz * w[:, None], mode="drop")
+    cells = jnp.floor(xyz / vm.leaf).astype(jnp.int32)
+    mkey = cell_key(cells)
+    bucket = _bucket_of(linear_key(cells), H)
+    slot, keys = _resolve_ways(vm.keys, bucket, mkey, mask, H)
+    w = (slot < H * NUM_WAYS).astype(vm.sx.dtype)
+    sx = vm.sx.at[slot].add(xyz[:, 0].astype(vm.sx.dtype) * w, mode="drop")
+    sy = vm.sy.at[slot].add(xyz[:, 1].astype(vm.sx.dtype) * w, mode="drop")
+    sz = vm.sz.at[slot].add(xyz[:, 2].astype(vm.sx.dtype) * w, mode="drop")
     counts = vm.counts.at[slot].add(w, mode="drop")
     over = counts > count_cap
     scale = jnp.where(over, count_cap / jnp.maximum(counts, 1.0), 1.0)
-    return VoxelHashMap(sums=sums * scale[:, None],
-                        counts=jnp.minimum(counts, count_cap),
-                        keys=keys, leaf=vm.leaf)
+    return vm._replace(sx=sx * scale, sy=sy * scale, sz=sz * scale,
+                       counts=jnp.minimum(counts, count_cap), keys=keys)
 
 
 def crop(vm: VoxelHashMap, center: jnp.ndarray, radius) -> VoxelHashMap:
     """Evict voxels whose centroid leaves the +-radius box around ``center``
     (pcl::CropBox at src/odomEstimationClass.cpp:270-287). Evicted ways
     return to EMPTY so buckets never clog with tombstones."""
-    c, occ = vm.centroids()
-    keep = occ & (jnp.max(jnp.abs(c - center), axis=-1) <= radius)
-    k = keep.astype(vm.sums.dtype)
+    d = jnp.maximum(vm.counts, 1.0)
+    keep = ((vm.counts > 0)
+            & (jnp.abs(vm.sx / d - center[0]) <= radius)
+            & (jnp.abs(vm.sy / d - center[1]) <= radius)
+            & (jnp.abs(vm.sz / d - center[2]) <= radius))
+    k = keep.astype(vm.sx.dtype)
     return vm._replace(
-        sums=vm.sums * k[:, None],
-        counts=vm.counts * k,
+        sx=vm.sx * k, sy=vm.sy * k, sz=vm.sz * k, counts=vm.counts * k,
         keys=jnp.where(keep, vm.keys, EMPTY_KEY),
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed query view + k-NN
+# ---------------------------------------------------------------------------
+
+PACK_WIDTH = 4  # channels per way in the packed view (cx, cy, cz, pad)
+
+
+def pack_query_view(vm: VoxelHashMap) -> jnp.ndarray:
+    """Dense (H, W * PACK_WIDTH) row table of pre-divided centroids; empty
+    ways sit at _FAR so they lose every distance comparison."""
+    H = vm.num_buckets
+    d = jnp.maximum(vm.counts, 1.0)
+    occ = vm.counts > 0
+    far = jnp.asarray(_FAR, vm.sx.dtype)
+    cx = jnp.where(occ, vm.sx / d, far)
+    cy = jnp.where(occ, vm.sy / d, far)
+    cz = jnp.where(occ, vm.sz / d, far)
+    pad = jnp.zeros_like(cx)
+    rows = jnp.stack([cx, cy, cz, pad], axis=-1)  # (HW, 4)
+    return rows.reshape(H, NUM_WAYS * PACK_WIDTH)
 
 
 def neighbor_offsets(leaf: float, radius: float) -> np.ndarray:
@@ -151,40 +205,102 @@ def neighbor_offsets(leaf: float, radius: float) -> np.ndarray:
     return np.asarray(offs, np.int32)
 
 
+def offset_key_deltas(offsets: np.ndarray) -> np.ndarray:
+    """Linear-hash deltas for the static offsets (uint32)."""
+    o = offsets.astype(np.uint32)
+    with np.errstate(over="ignore"):
+        return (o[:, 0] * _LA + o[:, 1] * _LB + o[:, 2] * _LC)
+
+
+_IDX_BITS = 13  # supports up to 8192 candidates per query
+_IDX_MASK = (1 << _IDX_BITS) - 1
+
+
+def _packed_min_k(d2: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k smallest of each row of a NON-NEGATIVE f32 (Q, C) array, with
+    argmins, via index-in-mantissa packing: sort-free, k passes of uint min.
+    Perturbs distances by <= 2^-13 relative (harmless for gating)."""
+    Q, C = d2.shape
+    if C > (1 << _IDX_BITS):
+        raise ValueError(
+            f"{C} candidates/query exceeds the packed-index budget "
+            f"({1 << _IDX_BITS}); use a coarser map leaf or a dedicated "
+            "search view (leaves < 0.2 m with radius 1.0 are not yet "
+            "supported on the hot path)")
+    bits = jax.lax.bitcast_convert_type(d2, jnp.uint32)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (Q, C), 1)
+    packed = (bits & ~jnp.uint32(_IDX_MASK)) | lane
+    vals = []
+    idxs = []
+    big = jnp.uint32(0xFFFFFFFF)
+    for _ in range(k):
+        m = jnp.min(packed, axis=1)  # (Q,)
+        vals.append(jax.lax.bitcast_convert_type(
+            m & ~jnp.uint32(_IDX_MASK), jnp.float32))
+        idxs.append((m & jnp.uint32(_IDX_MASK)).astype(jnp.int32))
+        packed = jnp.where(packed == m[:, None], big, packed)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
-def _query_impl(vm: VoxelHashMap, queries, qmask, offsets, k: int):
-    H = vm.num_buckets
+def _query_impl(packed_view, leaf, queries, qmask, offsets, deltas, k: int):
+    Q = queries.shape[0]
+    O = offsets.shape[0]
+    H = packed_view.shape[0]
     dtype = queries.dtype
+    base = jnp.floor(queries / leaf).astype(jnp.int32)  # (Q, 3)
+    base_key = linear_key(base)  # (Q,)
+    lkeys = base_key[:, None] + deltas[None, :]  # (Q, O) additive hash
+    bkt = _bucket_of(lkeys, H)
+    rows = packed_view[bkt]  # (Q, O, W*PW) — the single hot gather
+    cand = rows.reshape(Q, O * NUM_WAYS, PACK_WIDTH)[..., :3]  # (Q, OW, 3)
+    d = cand - queries[:, None, :]
+    d2 = jnp.sum(d * d, axis=-1)  # (Q, OW) — non-negative by construction
+    sel_d2, nn_idx = _packed_min_k(d2.astype(jnp.float32), k)
+    nn_xyz = jnp.take_along_axis(cand, nn_idx[..., None], axis=1)
+    # selection used mantissa-packed distances; recompute exact d2 for the
+    # k winners (cheap) so downstream gates see unperturbed values
+    dd = nn_xyz - queries[:, None, :]
+    nn_d2 = jnp.sum(dd * dd, axis=-1)
     big = jnp.asarray(jnp.inf, dtype)
-    base = jnp.floor(queries / vm.leaf).astype(jnp.int32)  # (Q, 3)
-    cells = base[:, None, :] + offsets[None, :, :]  # (Q, O, 3)
-    keys = cell_key(cells)  # (Q, O)
-    way0 = _bucket_of(keys, H) * NUM_WAYS  # (Q, O)
-    slots = way0[..., None] + jnp.arange(NUM_WAYS)[None, None, :]  # (Q,O,W)
-    cnt = vm.counts[slots]  # (Q, O, W)
-    have = vm.keys[slots]
-    cand = vm.sums[slots] / jnp.maximum(cnt, 1.0)[..., None]  # (Q, O, W, 3)
-    ok = (cnt > 0) & (have == keys[..., None])
-    d = queries[:, None, None, :] - cand
-    d2 = jnp.where(ok, jnp.sum(d * d, axis=-1), big)
-    Q, O = keys.shape
-    d2 = d2.reshape(Q, O * NUM_WAYS)
-    cand = cand.reshape(Q, O * NUM_WAYS, 3)
-    neg, idx = jax.lax.top_k(-d2, k)
-    nn_d2 = jnp.where(qmask[:, None], -neg, big)
-    nn_xyz = jnp.take_along_axis(cand, idx[..., None], axis=1)
+    # bucket aliasing can surface the same stored way through two different
+    # neighbor offsets; invalidate repeat winners so they fail the radius
+    # gate instead of polluting line/plane fits with duplicate points
+    way = nn_idx % NUM_WAYS
+    o_idx = nn_idx // NUM_WAYS
+    slot = jnp.take_along_axis(bkt, o_idx, axis=1) * NUM_WAYS + way  # (Q, k)
+    dup = jnp.zeros(slot.shape, bool)
+    for i in range(1, slot.shape[1]):
+        dup = dup.at[:, i].set(
+            jnp.any(slot[:, :i] == slot[:, i:i + 1], axis=1))
+    # empty/far ways produce huge but finite distances; gate them to inf
+    nn_d2 = jnp.where((sel_d2 < _FAR) & qmask[:, None] & ~dup,
+                      nn_d2.astype(dtype), big)
     return nn_xyz, nn_d2
 
 
-def query_knn(vm: VoxelHashMap, queries: jnp.ndarray, qmask: jnp.ndarray,
-              offsets: np.ndarray, k: int = 5):
+def query_knn(vm_or_view, queries: jnp.ndarray, qmask: jnp.ndarray,
+              offsets: np.ndarray, k: int = 5, leaf=None):
     """k nearest voxel centroids within the pruned neighborhood.
 
-    ``offsets`` comes from ``neighbor_offsets(leaf, radius)`` (static).
+    Accepts either a VoxelHashMap (packs on the fly — fine for tests) or a
+    pre-packed (view, leaf) pair from pack_query_view (the hot path).
     Returns (nn_xyz (Q,k,3), nn_sqdist (Q,k); +inf where invalid).
     """
-    return _query_impl(vm, queries, qmask, jnp.asarray(offsets), k)
+    if isinstance(vm_or_view, VoxelHashMap):
+        view = pack_query_view(vm_or_view)
+        leaf = vm_or_view.leaf
+    else:
+        view = vm_or_view
+        assert leaf is not None
+    offs = jnp.asarray(offsets)
+    deltas = jnp.asarray(offset_key_deltas(offsets))
+    return _query_impl(view, leaf, queries, qmask, offs, deltas, k)
 
+
+# ---------------------------------------------------------------------------
+# Compaction + sort-free downsample
+# ---------------------------------------------------------------------------
 
 def compact(vm: VoxelHashMap, out_capacity: int
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -193,11 +309,29 @@ def compact(vm: VoxelHashMap, out_capacity: int
     c, occ = vm.centroids()
     pos = jnp.cumsum(occ.astype(jnp.int32)) - 1  # target index per slot
     tgt = jnp.where(occ & (pos < out_capacity), pos, out_capacity)
-    out = jnp.zeros((out_capacity, 3), vm.sums.dtype).at[tgt].set(
-        c, mode="drop")
+    ox = jnp.zeros((out_capacity,), vm.sx.dtype).at[tgt].set(
+        c[:, 0], mode="drop")
+    oy = jnp.zeros((out_capacity,), vm.sx.dtype).at[tgt].set(
+        c[:, 1], mode="drop")
+    oz = jnp.zeros((out_capacity,), vm.sx.dtype).at[tgt].set(
+        c[:, 2], mode="drop")
     n = jnp.minimum(jnp.sum(occ, dtype=jnp.int32), out_capacity)
     mask = jnp.arange(out_capacity) < n
-    return out, mask
+    return jnp.stack([ox, oy, oz], axis=-1), mask
+
+
+def compact_points(xyz: jnp.ndarray, mask: jnp.ndarray, out_capacity: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prefix-sum compaction of a masked point set to a smaller capacity."""
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask & (pos < out_capacity), pos, out_capacity)
+    dtype = xyz.dtype
+    ox = jnp.zeros((out_capacity,), dtype).at[tgt].set(xyz[:, 0], mode="drop")
+    oy = jnp.zeros((out_capacity,), dtype).at[tgt].set(xyz[:, 1], mode="drop")
+    oz = jnp.zeros((out_capacity,), dtype).at[tgt].set(xyz[:, 2], mode="drop")
+    n = jnp.minimum(jnp.sum(mask, dtype=jnp.int32), out_capacity)
+    return (jnp.stack([ox, oy, oz], axis=-1),
+            jnp.arange(out_capacity) < n)
 
 
 def hash_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf,
@@ -206,8 +340,7 @@ def hash_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf,
     """Sort-free voxel-grid downsample (centroid per voxel) through a
     scratch bucketed table: W scatter-claim rounds + one scatter-add +
     prefix-sum compaction. Replaces the argsort-based
-    ops.voxel.voxel_downsample on the hot path (~8 ms -> sub-ms per scan
-    on a v5e chip at 147k points)."""
+    ops.voxel.voxel_downsample on the hot path."""
     dtype = dtype or xyz.dtype
     vm = empty(num_buckets, leaf, dtype)
     vm = insert(vm, xyz.astype(dtype), mask, count_cap=jnp.inf)

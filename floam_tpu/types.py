@@ -110,10 +110,13 @@ class MapState(NamedTuple):
     laserCloudCornerMap/laserCloudSurfMap + two kd-trees,
     src/odomEstimationClass.cpp:9-18,78-79). Each side is a
     ops.voxelmap.VoxelHashMap (voxel-centroid hash table that doubles as
-    the NN structure)."""
+    the NN structure) plus its packed query view (dense row table rebuilt
+    whenever the map changes; the k-NN hot loop only touches the view)."""
 
     edge: "VoxelHashMap"  # type: ignore[name-defined]  # noqa: F821
     surf: "VoxelHashMap"  # type: ignore[name-defined]  # noqa: F821
+    edge_view: jnp.ndarray  # (H_e, 16)
+    surf_view: jnp.ndarray  # (H_s, 16)
 
 
 class OdomState(NamedTuple):

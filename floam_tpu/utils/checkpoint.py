@@ -1,0 +1,63 @@
+"""Periodic checkpoint/resume of the odometry engine.
+
+The reference has NO mid-run persistence: everything is dumped once at
+shutdown from an unbounded in-RAM Dump struct (SURVEY.md section 5;
+src/odomEstimationNode.cpp:284-287,373-387), so a crash loses the run.
+Here the full engine state — pose pair, voxel hash maps, keyframe gate,
+iteration budget, frame index — plus the trajectory so far is snapshotted
+to a single .npz and restored exactly (the state is a flat pytree of
+arrays, so the round trip is bit-exact).
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..types import OdomState
+
+
+def _flatten_state(state: OdomState) -> dict:
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    return {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+
+
+def save_checkpoint(path, state: OdomState, stamps, quats, trans,
+                    frame_idx: Optional[int] = None,
+                    extra: Optional[dict] = None) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = _flatten_state(state)
+    payload["traj_stamps"] = np.asarray(stamps)
+    payload["traj_quats"] = np.asarray(quats)
+    payload["traj_trans"] = np.asarray(trans)
+    if extra:
+        for k, v in extra.items():
+            payload[f"extra_{k}"] = np.asarray(v)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez_compressed(tmp, **payload)
+    tmp.replace(path)  # atomic publish
+
+
+def load_checkpoint(path, template: OdomState
+                    ) -> Tuple[OdomState, np.ndarray, np.ndarray, np.ndarray]:
+    """Restore (state, stamps, quats, trans). ``template`` provides the
+    pytree structure (from odometry.init_state with the same config)."""
+    import jax.numpy as jnp
+
+    data = np.load(Path(path))
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    restored = []
+    for i, leaf in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"checkpoint leaf {i} shape {arr.shape} != {leaf.shape} — "
+                "config mismatch")
+        restored.append(jnp.asarray(arr, leaf.dtype))
+    state = jax.tree_util.tree_unflatten(treedef, restored)
+    return (state, data["traj_stamps"], data["traj_quats"],
+            data["traj_trans"])
