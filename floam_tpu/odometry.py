@@ -176,14 +176,14 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
         pred = state.pose
         last_pose = state.last_pose
 
-    # --- feature downsample (:73-75; leaf = res for edge, 2x for surf),
-    #     sort-free through scratch hash tables ---
-    e_xyz, e_mask = voxelmap.hash_downsample(
-        edge.xyz, edge.mask, _edge_leaf(oc), oc.scan_edge_table,
-        oc.scan_edge_capacity, dtype=dtype)
-    s_xyz, s_mask = voxelmap.hash_downsample(
-        surf.xyz, surf.mask, _surf_leaf(oc), oc.scan_surf_table,
-        oc.scan_surf_capacity, dtype=dtype)
+    # --- feature clouds arrive pre-decimated (edge: selector slot buffers;
+    #     surf: strided structural subsample — see pipeline). The
+    #     reference's scan-side VoxelGrid (:73-75,137-142) is subsumed by
+    #     that decimation plus the voxel dedup of the map insert below. ---
+    e_xyz = edge.xyz.astype(dtype)
+    e_mask = edge.mask
+    s_xyz = surf.xyz.astype(dtype)
+    s_mask = surf.mask
 
     # --- map-size guard (:77,111-113) ---
     map_edge_n = state.map.edge.num_occupied()

@@ -105,8 +105,15 @@ def _sector_ids(counts: jnp.ndarray, capacity: int, num_sectors: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def extract_features(scan: RingScan, cfg: FeatureConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (edge_mask, surf_mask), both (R, C) bool over scan slots."""
+def extract_features_full(scan: RingScan, cfg: FeatureConfig):
+    """Full outputs: (edge_mask (R,C), surf_mask (R,C), edge_xyz
+    (R*S*EPS, 3), edge_time (R*S*EPS,), edge_valid (R*S*EPS,)).
+
+    The edge positions are collected directly inside the greedy selection
+    loop into dense per-(ring, sector) slots — the hot path consumes them
+    without any full-scan-scale compaction (per-point scatter/gather at
+    ~1.5e5 scale costs milliseconds on TPU; see docs/PERFORMANCE.md).
+    """
     xyz = scan.xyz
     mask = scan.mask
     R, C, _ = xyz.shape
@@ -131,9 +138,17 @@ def extract_features(scan: RingScan, cfg: FeatureConfig) -> Tuple[jnp.ndarray, j
     col = jnp.arange(C, dtype=jnp.int32)[None, :]  # (1, C)
     thr = jnp.asarray(cfg.curvature_threshold, dtype)
     max_picks = cfg.edges_per_sector + 1  # 21st pick: suppressed, no edge
+    EPS = cfg.edges_per_sector
+    RS = R * S
+    # per-(ring,sector) xyz rows for in-loop edge collection
+    xyz_rs = jnp.broadcast_to(xyz[:, None, :, :], (R, S, C, 3)
+                              ).reshape(RS, C, 3)
+    time_rs = jnp.broadcast_to(scan.time[:, None, :], (R, S, C)
+                               ).reshape(RS, C)
+    rows = jnp.arange(RS)
 
-    def body(_, state):
-        picked, edge, count, done = state
+    def body(i, state):
+        picked, edge, count, done, ebuf, etime, evalid = state
         avail_curv = jnp.where(cand & ~picked, curv_b, _NEG.astype(dtype))
         ind = jnp.argmax(avail_curv, axis=1)  # (RS,)
         val = jnp.take_along_axis(avail_curv, ind[:, None], axis=1)[:, 0]
@@ -149,17 +164,31 @@ def extract_features(scan: RingScan, cfg: FeatureConfig) -> Tuple[jnp.ndarray, j
         picked = picked | (is_edge[:, None] & (window | onehot))
         picked = picked | (is_last[:, None] & onehot)
         edge = edge | (is_edge[:, None] & onehot)
+        # collect the pick position into slot (rs, count)
+        pick_xyz = jnp.take_along_axis(
+            xyz_rs, ind[:, None, None], axis=1)[:, 0, :]  # (RS, 3)
+        pick_t = jnp.take_along_axis(time_rs, ind[:, None], axis=1)[:, 0]
+        slot = jnp.clip(count, 0, EPS - 1)
+        ebuf = ebuf.at[rows, slot].set(
+            jnp.where(is_edge[:, None], pick_xyz, ebuf[rows, slot]))
+        etime = etime.at[rows, slot].set(
+            jnp.where(is_edge, pick_t, etime[rows, slot]))
+        evalid = evalid.at[rows, slot].set(evalid[rows, slot] | is_edge)
         count = count + can_pick.astype(jnp.int32)
         done = done | ~can_pick | is_last
-        return picked, edge, count, done
+        return picked, edge, count, done, ebuf, etime, evalid
 
     init = (
         jnp.zeros((R * S, C), bool),
         jnp.zeros((R * S, C), bool),
         jnp.zeros((R * S,), jnp.int32),
         jnp.zeros((R * S,), bool),
+        jnp.zeros((RS, EPS, 3), dtype),
+        jnp.zeros((RS, EPS), scan.time.dtype),
+        jnp.zeros((RS, EPS), bool),
     )
-    picked, edge, _, _ = jax.lax.fori_loop(0, max_picks, body, init)
+    picked, edge, _, _, ebuf, etime, evalid = jax.lax.fori_loop(
+        0, max_picks, body, init)
 
     # A point's surf membership is decided by its own sector's picked set;
     # suppression spill into neighboring sectors has no effect (:220-227).
@@ -167,7 +196,15 @@ def extract_features(scan: RingScan, cfg: FeatureConfig) -> Tuple[jnp.ndarray, j
     edge_mask = edge.reshape(R, S, C).any(axis=1)
     in_sector = sec >= 0
     surf_mask = in_sector & ~picked_own & ~edge_mask
-    return edge_mask, surf_mask
+    return (edge_mask, surf_mask, ebuf.reshape(RS * EPS, 3),
+            etime.reshape(RS * EPS), evalid.reshape(RS * EPS))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_features(scan: RingScan, cfg: FeatureConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (edge_mask, surf_mask), both (R, C) bool over scan slots."""
+    e, s, _, _, _ = extract_features_full(scan, cfg)
+    return e, s
 
 
 def ring_ids_from_elevation(xyz, num_lines: int):

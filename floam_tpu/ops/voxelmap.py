@@ -137,8 +137,13 @@ def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
     """Scatter points into their voxels (running mean, weight-capped)."""
     H = vm.num_buckets
     cells = jnp.floor(xyz / vm.leaf).astype(jnp.int32)
-    mkey = cell_key(cells)
-    bucket = _bucket_of(linear_key(cells), H)
+    # the full 32-bit linear key doubles as the ownership key: the
+    # multipliers are validated (tests/test_voxelmap.py) to have no alias
+    # vector within +-600 cells, so within any crop-bounded local map the
+    # key is injective and dedup is exact — and it avoids the murmur mix,
+    # whose emulated uint32 multiplies dominate at full-cloud scale
+    mkey = linear_key(cells)
+    bucket = _bucket_of(mkey, H)
     slot, keys = _resolve_ways(vm.keys, bucket, mkey, mask, H)
     w = (slot < H * NUM_WAYS).astype(vm.sx.dtype)
     sx = vm.sx.at[slot].add(xyz[:, 0].astype(vm.sx.dtype) * w, mode="drop")

@@ -42,14 +42,33 @@ def _center_times(scan: RingScan) -> RingScan:
 
 def _features_from_scan(scan: RingScan, cfg: FloamConfig
                         ) -> Tuple[PointBatch, PointBatch]:
+    """Feature clouds sized for the hot path without any full-scan-scale
+    compaction (see docs/PERFORMANCE.md):
+
+    * edges come straight from the greedy selector's per-(ring, sector)
+      slot buffers;
+    * the surf cloud is an azimuthally STRIDED structural subsample of the
+      surf-mask — statistically the same spatial decimation the reference's
+      2x-leaf VoxelGrid performs on the surf cloud
+      (src/odomEstimationClass.cpp:14,140-141), but with zero sparse ops.
+      The map-insert path re-voxelizes anyway, so scan-side decimation only
+      controls the query budget.
+    """
     scan = _center_times(scan)
-    edge_mask, surf_mask = features.extract_features(scan, cfg.features)
-    flat = scan.xyz.reshape(-1, 3)
-    flat_time = scan.time.reshape(-1)
-    return (
-        PointBatch(xyz=flat, mask=edge_mask.reshape(-1), time=flat_time),
-        PointBatch(xyz=flat, mask=surf_mask.reshape(-1), time=flat_time),
+    _, surf_mask, e_xyz, e_time, e_valid = features.extract_features_full(
+        scan, cfg.features)
+    edge = PointBatch(xyz=e_xyz, mask=e_valid, time=e_time)
+
+    R, C = surf_mask.shape
+    per_ring = max(1, cfg.odom.scan_surf_capacity // R)
+    stride = max(1, C // per_ring)
+    cols = C // stride
+    surf = PointBatch(
+        xyz=scan.xyz[:, ::stride][:, :cols].reshape(-1, 3),
+        mask=(surf_mask & scan.mask)[:, ::stride][:, :cols].reshape(-1),
+        time=scan.time[:, ::stride][:, :cols].reshape(-1),
     )
+    return edge, surf
 
 
 def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig):

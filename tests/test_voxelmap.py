@@ -121,3 +121,27 @@ def test_neighbor_offsets_counts():
     assert (np.abs(o4) <= 3).all()
     # pruning beats the full cube
     assert len(o4) < 9 ** 3
+
+
+def test_linear_hash_constants_alias_free():
+    """The insert path uses the 32-bit linear cell key as the voxel
+    ownership key; dedup is exact only while no two live cells differ by an
+    alias vector of the lattice {v : v.A + v.B + v.C == 0 mod 2^32}. Guard
+    the constants: minimal alias inf-norm must exceed the largest live cell
+    difference (1000 cells: +-100 m crop at the 0.2 m minimum hot-path
+    leaf). Full search in scripts/validate_hash_constants.py found the
+    minimum at 1023."""
+    import numpy as np
+
+    A, B, C = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D
+    M = 2 ** 32
+    Cinv = pow(C, -1, M)
+    R = 1000
+    dy = np.arange(-R, R + 1, dtype=np.int64)
+    for vx in range(-R, R + 1):
+        rhs = (-(vx * A + dy * B)) % M
+        vz = (rhs * Cinv) % M
+        vz_signed = np.where(vz > M // 2, vz - M, vz)
+        hit = (np.abs(vz_signed) <= R) & ~((vx == 0) & (dy == 0) &
+                                           (vz_signed == 0))
+        assert not hit.any(), (vx, dy[hit], vz_signed[hit])
