@@ -59,6 +59,18 @@ def _edge_offsets(leaf: float, radius: float):
     return voxelmap.neighbor_offsets(leaf, radius)
 
 
+@functools.lru_cache(maxsize=None)
+def _search_offsets(leaf: float, radius: float, num_buckets: int):
+    """Pruned + bucket-deduped offsets and their linear-key deltas for a
+    given table (static per config)."""
+    import numpy as np
+
+    offs = voxelmap.dedup_offsets(
+        voxelmap.neighbor_offsets(leaf, radius), num_buckets)
+    deltas = voxelmap.offset_key_deltas(offs)
+    return np.asarray(offs), np.asarray(deltas)
+
+
 # ---------------------------------------------------------------------------
 # State construction
 # ---------------------------------------------------------------------------
@@ -114,25 +126,36 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
                          edge_xyz, edge_mask, surf_xyz, surf_mask,
                          oc: OdomConfig) -> Tuple[Pose, gn.GNStats]:
     """One outer round: re-associate at the current pose, then run the fixed
-    inner GN iterations (one Ceres Solve in the reference, :92-108)."""
+    inner GN iterations (one Ceres Solve in the reference, :92-108).
+
+    The association is fully gather-free: one packed row gather per map
+    side, then masked-moment line/plane fits (see ops.residuals fused
+    variants and docs/PERFORMANCE.md)."""
     radius = float(oc.nn_radius_sq) ** 0.5
-    e_offs = _edge_offsets(_edge_leaf(oc), radius)
-    s_offs = _edge_offsets(_surf_leaf(oc), radius)
+    k = oc.k_neighbors
+    e_offs, e_deltas = _search_offsets(_edge_leaf(oc), radius,
+                                       oc.map_edge_table)
+    s_offs, s_deltas = _search_offsets(_surf_leaf(oc), radius,
+                                       oc.map_surf_table)
 
     pw_edge = se3.quat_rotate(pose.q[None, :], edge_xyz) + pose.t
-    nn_e, d2_e = voxelmap.query_knn(map_state.edge_view, pw_edge, edge_mask,
-                                    e_offs, k=oc.k_neighbors,
-                                    leaf=map_state.edge.leaf)
-    ef = residuals.edge_association(edge_xyz, nn_e, d2_e, oc.nn_radius_sq,
-                                    oc.edge_eig_ratio, oc.line_half_length)
+    cand_e, d2_e = voxelmap.query_candidates(
+        map_state.edge_view, map_state.edge.leaf, pw_edge,
+        jnp.asarray(e_offs), jnp.asarray(e_deltas))
+    kth_e, win_e = voxelmap.select_k_mask(d2_e, k)
+    ef = residuals.edge_association_fused(
+        edge_xyz, cand_e, win_e, kth_e, k, oc.nn_radius_sq,
+        oc.edge_eig_ratio, oc.line_half_length)
     ef = ef._replace(valid=ef.valid & edge_mask)
 
     pw_surf = se3.quat_rotate(pose.q[None, :], surf_xyz) + pose.t
-    nn_s, d2_s = voxelmap.query_knn(map_state.surf_view, pw_surf, surf_mask,
-                                    s_offs, k=oc.k_neighbors,
-                                    leaf=map_state.surf.leaf)
-    sf = residuals.surf_association(surf_xyz, nn_s, d2_s, oc.nn_radius_sq,
-                                    oc.plane_fit_tol)
+    cand_s, d2_s = voxelmap.query_candidates(
+        map_state.surf_view, map_state.surf.leaf, pw_surf,
+        jnp.asarray(s_offs), jnp.asarray(s_deltas))
+    kth_s, win_s = voxelmap.select_k_mask(d2_s, k)
+    sf = residuals.surf_association_fused(
+        surf_xyz, cand_s, win_s, kth_s, k, oc.nn_radius_sq,
+        oc.plane_fit_tol)
     sf = sf._replace(valid=sf.valid & surf_mask)
 
     return gn.solve_pose(pose, ef, sf, oc)

@@ -136,6 +136,61 @@ def surf_association(
                        valid=gate & solvable & plane_ok)
 
 
+def edge_association_fused(
+    point: jnp.ndarray,  # (Q, 3) sensor frame
+    cand: jnp.ndarray,  # (Q, C, 3) candidate centroids (world)
+    winners: jnp.ndarray,  # (Q, C) bool, exactly k true where gate passes
+    kth_d2: jnp.ndarray,  # (Q,)
+    k: int,
+    radius_sq: float,
+    eig_ratio: float,
+    half_length: float,
+) -> EdgeFactors:
+    """Gather-free line fit: the covariance of the k nearest map centroids
+    is accumulated as masked moments over the candidate axis (dense,
+    MXU-friendly) instead of extracting the winners — per-row gathers cost
+    milliseconds at this scale on TPU (docs/PERFORMANCE.md). Semantics
+    match edge_association (odomEstimationClass.cpp:144-191)."""
+    w = winners.astype(cand.dtype)
+    S1 = jnp.einsum("qc,qcd->qd", w, cand)  # (Q, 3)
+    S2 = jnp.einsum("qc,qcd,qce->qde", w, cand, cand)  # (Q, 3, 3)
+    center = S1 / float(k)
+    cov = S2 - float(k) * center[:, :, None] * center[:, None, :]
+    evals, direction = eigh3x3_psd(cov)
+    gate = kth_d2 < radius_sq
+    ok = gate & (evals[:, 0] > eig_ratio * evals[:, 1])
+    pa = center + half_length * direction
+    pb = center - half_length * direction
+    return EdgeFactors(point=point, pa=pa, pb=pb, valid=ok)
+
+
+def surf_association_fused(
+    point: jnp.ndarray,  # (Q, 3)
+    cand: jnp.ndarray,  # (Q, C, 3)
+    winners: jnp.ndarray,  # (Q, C)
+    kth_d2: jnp.ndarray,  # (Q,)
+    k: int,
+    radius_sq: float,
+    fit_tol: float,
+) -> SurfFactors:
+    """Gather-free plane fit via masked normal-equation moments; the
+    per-neighbor fit-quality check becomes a masked max over the candidate
+    axis. Semantics match surf_association (odomEstimationClass.cpp:198-244)."""
+    w = winners.astype(cand.dtype)
+    S1 = jnp.einsum("qc,qcd->qd", w, cand)
+    M = jnp.einsum("qc,qcd,qce->qde", w, cand, cand)  # A^T A over winners
+    rhs = -S1
+    n_raw, solvable = solve3x3(M, rhs)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(n_raw * n_raw, axis=-1), _EPS))
+    d = 1.0 / norm
+    n_hat = n_raw / norm[:, None]
+    resid = jnp.abs(jnp.einsum("qcd,qd->qc", cand, n_hat) + d[:, None])
+    max_resid = jnp.max(jnp.where(winners, resid, 0.0), axis=1)
+    gate = kth_d2 < radius_sq
+    return SurfFactors(point=point, normal=n_hat, offset=d,
+                       valid=gate & solvable & (max_resid <= fit_tol))
+
+
 def edge_residual_jacobian(q, t, f: EdgeFactors):
     """Batched point-to-line residual + 1x6 Jacobian (lidarOptimization.cpp:12-43)."""
     pw = quat_rotate(q[None, :], f.point) + t[None, :]  # (Q, 3)

@@ -307,6 +307,62 @@ def query_knn(vm_or_view, queries: jnp.ndarray, qmask: jnp.ndarray,
 # Compaction + sort-free downsample
 # ---------------------------------------------------------------------------
 
+def dedup_offsets(offsets: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Drop offsets that always alias another offset's bucket: the bucket
+    of (base + o) is bucket(base_key + delta(o)), so two offsets whose
+    deltas are congruent mod num_buckets hit the SAME bucket for every
+    base cell — gathering it once already yields all its ways."""
+    deltas = offset_key_deltas(offsets) & np.uint32(num_buckets - 1)
+    _, first = np.unique(deltas, return_index=True)
+    return offsets[np.sort(first)]
+
+
+def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
+                     offsets: jnp.ndarray, deltas: jnp.ndarray):
+    """Gather all candidate centroids around each query: ONE row gather.
+
+    Returns (cand (Q, O*W, 3), d2 (Q, O*W)) — empty ways sit at _FAR and
+    produce huge finite distances. ``offsets`` should be pre-deduped with
+    dedup_offsets for the target table so no stored way appears twice.
+    """
+    Q = queries.shape[0]
+    O = offsets.shape[0]
+    H = packed_view.shape[0]
+    base = jnp.floor(queries / leaf).astype(jnp.int32)
+    base_key = linear_key(base)
+    lkeys = base_key[:, None] + deltas[None, :]
+    bkt = _bucket_of(lkeys, H)
+    rows = packed_view[bkt]  # (Q, O, W*PW)
+    cand = rows.reshape(Q, O * NUM_WAYS, PACK_WIDTH)[..., :3]
+    d = cand - queries[:, None, :]
+    d2 = jnp.sum(d * d, axis=-1)
+    return cand, d2
+
+
+def select_k_mask(d2: jnp.ndarray, k: int):
+    """(kth smallest distance (Q,), winner mask (Q, C)) — the winner mask
+    falls out of the packed-min masking for free, enabling gather-free
+    factor fits via masked moment accumulation."""
+    Q, C = d2.shape
+    if C > (1 << _IDX_BITS):
+        raise ValueError(
+            f"{C} candidates/query exceeds the packed-index budget "
+            f"({1 << _IDX_BITS})")
+    bits = jax.lax.bitcast_convert_type(d2.astype(jnp.float32), jnp.uint32)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (Q, C), 1)
+    packed = (bits & ~jnp.uint32(_IDX_MASK)) | lane
+    big = jnp.uint32(0xFFFFFFFF)
+    orig = packed
+    m = jnp.zeros((Q,), jnp.uint32)
+    for _ in range(k):
+        m = jnp.min(packed, axis=1)
+        packed = jnp.where(packed == m[:, None], big, packed)
+    kth_d2 = jax.lax.bitcast_convert_type(
+        m & ~jnp.uint32(_IDX_MASK), jnp.float32)
+    winners = (packed == big) & (orig != big)
+    return kth_d2, winners
+
+
 def compact(vm: VoxelHashMap, out_capacity: int
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack occupied-voxel centroids to the front of a fixed-size array via
