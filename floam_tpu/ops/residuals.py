@@ -136,9 +136,31 @@ def surf_association(
                        valid=gate & solvable & plane_ok)
 
 
+def _masked_moments(cand_soa, winners):
+    """First and second moments of the masked candidates — pure (Q, C)
+    elementwise + reductions (wide minor dims; no gathers, no (Q, C, 3)
+    tensors whose size-3 trailing axis would waste ~98% of the 128 VPU
+    lanes; docs/PERFORMANCE.md)."""
+    cx, cy, cz = cand_soa
+    w = winners.astype(cx.dtype)
+    wx, wy, wz = w * cx, w * cy, w * cz
+    S1 = jnp.stack([wx.sum(1), wy.sum(1), wz.sum(1)], axis=-1)  # (Q, 3)
+    sxx = (wx * cx).sum(1)
+    sxy = (wx * cy).sum(1)
+    sxz = (wx * cz).sum(1)
+    syy = (wy * cy).sum(1)
+    syz = (wy * cz).sum(1)
+    szz = (wz * cz).sum(1)
+    row0 = jnp.stack([sxx, sxy, sxz], axis=-1)
+    row1 = jnp.stack([sxy, syy, syz], axis=-1)
+    row2 = jnp.stack([sxz, syz, szz], axis=-1)
+    S2 = jnp.stack([row0, row1, row2], axis=-2)  # (Q, 3, 3)
+    return S1, S2
+
+
 def edge_association_fused(
     point: jnp.ndarray,  # (Q, 3) sensor frame
-    cand: jnp.ndarray,  # (Q, C, 3) candidate centroids (world)
+    cand_soa,  # (cx, cy, cz), each (Q, C): candidate centroids (world)
     winners: jnp.ndarray,  # (Q, C) bool, exactly k true where gate passes
     kth_d2: jnp.ndarray,  # (Q,)
     k: int,
@@ -147,13 +169,10 @@ def edge_association_fused(
     half_length: float,
 ) -> EdgeFactors:
     """Gather-free line fit: the covariance of the k nearest map centroids
-    is accumulated as masked moments over the candidate axis (dense,
-    MXU-friendly) instead of extracting the winners — per-row gathers cost
-    milliseconds at this scale on TPU (docs/PERFORMANCE.md). Semantics
-    match edge_association (odomEstimationClass.cpp:144-191)."""
-    w = winners.astype(cand.dtype)
-    S1 = jnp.einsum("qc,qcd->qd", w, cand)  # (Q, 3)
-    S2 = jnp.einsum("qc,qcd,qce->qde", w, cand, cand)  # (Q, 3, 3)
+    is accumulated as masked moments over the candidate axis instead of
+    extracting the winners. Semantics match edge_association
+    (odomEstimationClass.cpp:144-191)."""
+    S1, S2 = _masked_moments(cand_soa, winners)
     center = S1 / float(k)
     cov = S2 - float(k) * center[:, :, None] * center[:, None, :]
     evals, direction = eigh3x3_psd(cov)
@@ -166,7 +185,7 @@ def edge_association_fused(
 
 def surf_association_fused(
     point: jnp.ndarray,  # (Q, 3)
-    cand: jnp.ndarray,  # (Q, C, 3)
+    cand_soa,  # (cx, cy, cz), each (Q, C)
     winners: jnp.ndarray,  # (Q, C)
     kth_d2: jnp.ndarray,  # (Q,)
     k: int,
@@ -176,15 +195,15 @@ def surf_association_fused(
     """Gather-free plane fit via masked normal-equation moments; the
     per-neighbor fit-quality check becomes a masked max over the candidate
     axis. Semantics match surf_association (odomEstimationClass.cpp:198-244)."""
-    w = winners.astype(cand.dtype)
-    S1 = jnp.einsum("qc,qcd->qd", w, cand)
-    M = jnp.einsum("qc,qcd,qce->qde", w, cand, cand)  # A^T A over winners
+    cx, cy, cz = cand_soa
+    S1, M = _masked_moments(cand_soa, winners)
     rhs = -S1
     n_raw, solvable = solve3x3(M, rhs)
     norm = jnp.sqrt(jnp.maximum(jnp.sum(n_raw * n_raw, axis=-1), _EPS))
     d = 1.0 / norm
     n_hat = n_raw / norm[:, None]
-    resid = jnp.abs(jnp.einsum("qcd,qd->qc", cand, n_hat) + d[:, None])
+    resid = jnp.abs(cx * n_hat[:, 0:1] + cy * n_hat[:, 1:2]
+                    + cz * n_hat[:, 2:3] + d[:, None])
     max_resid = jnp.max(jnp.where(winners, resid, 0.0), axis=1)
     gate = kth_d2 < radius_sq
     return SurfFactors(point=point, normal=n_hat, offset=d,

@@ -176,22 +176,28 @@ def crop(vm: VoxelHashMap, center: jnp.ndarray, radius) -> VoxelHashMap:
 # Packed query view + k-NN
 # ---------------------------------------------------------------------------
 
-PACK_WIDTH = 4  # channels per way in the packed view (cx, cy, cz, pad)
+PACK_WIDTH = 4  # channel blocks per way-group in the packed view
 
 
 def pack_query_view(vm: VoxelHashMap) -> jnp.ndarray:
-    """Dense (H, W * PACK_WIDTH) row table of pre-divided centroids; empty
-    ways sit at _FAR so they lose every distance comparison."""
+    """Dense (H, 16) row table of pre-divided centroids, CHANNEL-BLOCKED:
+    columns [x ways 0..3 | y ways 0..3 | z ways 0..3 | pad]. Empty ways sit
+    at _FAR so they lose every distance comparison.
+
+    The channel-block layout lets the query slice each coordinate into a
+    (Q, O*W) plane whose minor dimension is hundreds wide — TPU vector
+    registers are (8, 128), so keeping xyz as a trailing size-3 axis would
+    run every elementwise op at ~2% lane utilization (docs/PERFORMANCE.md).
+    """
     H = vm.num_buckets
     d = jnp.maximum(vm.counts, 1.0)
     occ = vm.counts > 0
     far = jnp.asarray(_FAR, vm.sx.dtype)
-    cx = jnp.where(occ, vm.sx / d, far)
-    cy = jnp.where(occ, vm.sy / d, far)
-    cz = jnp.where(occ, vm.sz / d, far)
+    cx = jnp.where(occ, vm.sx / d, far).reshape(H, NUM_WAYS)
+    cy = jnp.where(occ, vm.sy / d, far).reshape(H, NUM_WAYS)
+    cz = jnp.where(occ, vm.sz / d, far).reshape(H, NUM_WAYS)
     pad = jnp.zeros_like(cx)
-    rows = jnp.stack([cx, cy, cz, pad], axis=-1)  # (HW, 4)
-    return rows.reshape(H, NUM_WAYS * PACK_WIDTH)
+    return jnp.concatenate([cx, cy, cz, pad], axis=1)  # (H, 16)
 
 
 def neighbor_offsets(leaf: float, radius: float) -> np.ndarray:
@@ -249,28 +255,29 @@ def _packed_min_k(d2: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _query_impl(packed_view, leaf, queries, qmask, offsets, deltas, k: int):
+    """Explicit k-NN (test/utility path; the odometry hot loop uses
+    query_candidates + select_k_mask + fused association instead)."""
     Q = queries.shape[0]
     O = offsets.shape[0]
     H = packed_view.shape[0]
     dtype = queries.dtype
-    base = jnp.floor(queries / leaf).astype(jnp.int32)  # (Q, 3)
-    base_key = linear_key(base)  # (Q,)
-    lkeys = base_key[:, None] + deltas[None, :]  # (Q, O) additive hash
-    bkt = _bucket_of(lkeys, H)
-    rows = packed_view[bkt]  # (Q, O, W*PW) — the single hot gather
-    cand = rows.reshape(Q, O * NUM_WAYS, PACK_WIDTH)[..., :3]  # (Q, OW, 3)
-    d = cand - queries[:, None, :]
-    d2 = jnp.sum(d * d, axis=-1)  # (Q, OW) — non-negative by construction
+    (cx, cy, cz), d2 = query_candidates(packed_view, leaf, queries,
+                                        offsets, deltas)
     sel_d2, nn_idx = _packed_min_k(d2.astype(jnp.float32), k)
-    nn_xyz = jnp.take_along_axis(cand, nn_idx[..., None], axis=1)
+    nx = jnp.take_along_axis(cx, nn_idx, axis=1)
+    ny = jnp.take_along_axis(cy, nn_idx, axis=1)
+    nz = jnp.take_along_axis(cz, nn_idx, axis=1)
+    nn_xyz = jnp.stack([nx, ny, nz], axis=-1)  # (Q, k, 3)
     # selection used mantissa-packed distances; recompute exact d2 for the
     # k winners (cheap) so downstream gates see unperturbed values
-    dd = nn_xyz - queries[:, None, :]
-    nn_d2 = jnp.sum(dd * dd, axis=-1)
+    nn_d2 = ((nx - queries[:, 0:1]) ** 2 + (ny - queries[:, 1:2]) ** 2
+             + (nz - queries[:, 2:3]) ** 2)
     big = jnp.asarray(jnp.inf, dtype)
     # bucket aliasing can surface the same stored way through two different
     # neighbor offsets; invalidate repeat winners so they fail the radius
     # gate instead of polluting line/plane fits with duplicate points
+    base_key = linear_key(jnp.floor(queries / leaf).astype(jnp.int32))
+    bkt = _bucket_of(base_key[:, None] + deltas[None, :], H)
     way = nn_idx % NUM_WAYS
     o_idx = nn_idx // NUM_WAYS
     slot = jnp.take_along_axis(bkt, o_idx, axis=1) * NUM_WAYS + way  # (Q, k)
@@ -321,9 +328,10 @@ def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
                      offsets: jnp.ndarray, deltas: jnp.ndarray):
     """Gather all candidate centroids around each query: ONE row gather.
 
-    Returns (cand (Q, O*W, 3), d2 (Q, O*W)) — empty ways sit at _FAR and
-    produce huge finite distances. ``offsets`` should be pre-deduped with
-    dedup_offsets for the target table so no stored way appears twice.
+    Returns ((cx, cy, cz), d2), each (Q, O*W) — structure-of-arrays so
+    every downstream op has a wide minor dimension. Empty ways sit at _FAR
+    and produce huge finite distances. ``offsets`` should be pre-deduped
+    with dedup_offsets for the target table so no stored way appears twice.
     """
     Q = queries.shape[0]
     O = offsets.shape[0]
@@ -332,11 +340,16 @@ def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
     base_key = linear_key(base)
     lkeys = base_key[:, None] + deltas[None, :]
     bkt = _bucket_of(lkeys, H)
-    rows = packed_view[bkt]  # (Q, O, W*PW)
-    cand = rows.reshape(Q, O * NUM_WAYS, PACK_WIDTH)[..., :3]
-    d = cand - queries[:, None, :]
-    d2 = jnp.sum(d * d, axis=-1)
-    return cand, d2
+    rows = packed_view[bkt]  # (Q, O, 16) channel-blocked
+    W = NUM_WAYS
+    cx = rows[:, :, 0 * W:1 * W].reshape(Q, O * W)
+    cy = rows[:, :, 1 * W:2 * W].reshape(Q, O * W)
+    cz = rows[:, :, 2 * W:3 * W].reshape(Q, O * W)
+    dx = cx - queries[:, 0:1]
+    dy = cy - queries[:, 1:2]
+    dz = cz - queries[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz
+    return (cx, cy, cz), d2
 
 
 def select_k_mask(d2: jnp.ndarray, k: int):

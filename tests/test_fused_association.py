@@ -26,19 +26,19 @@ def fused_and_explicit(rng, leaf, assoc_kind):
     nn_xyz, nn_d2 = voxelmap.query_knn(view, queries, qmask, offs, k=5,
                                        leaf=vm.leaf)
     # fused path
-    cand, d2 = voxelmap.query_candidates(view, vm.leaf, queries,
-                                         jnp.asarray(offs_d),
-                                         jnp.asarray(deltas))
+    cand_soa, d2 = voxelmap.query_candidates(view, vm.leaf, queries,
+                                             jnp.asarray(offs_d),
+                                             jnp.asarray(deltas))
     kth, win = voxelmap.select_k_mask(d2, 5)
 
     if assoc_kind == "edge":
         f_ref = residuals.edge_association(queries, nn_xyz, nn_d2, 1.0, 3.0,
                                            0.1)
-        f_fused = residuals.edge_association_fused(queries, cand, win, kth,
+        f_fused = residuals.edge_association_fused(queries, cand_soa, win, kth,
                                                    5, 1.0, 3.0, 0.1)
     else:
         f_ref = residuals.surf_association(queries, nn_xyz, nn_d2, 1.0, 0.2)
-        f_fused = residuals.surf_association_fused(queries, cand, win, kth,
+        f_fused = residuals.surf_association_fused(queries, cand_soa, win, kth,
                                                    5, 1.0, 0.2)
     return f_ref, f_fused
 
