@@ -1,0 +1,101 @@
+"""Sequence runner end-to-end (sim source, exports, metrics) and
+checkpoint/resume round trip."""
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from floam_tpu import odometry, sim
+from floam_tpu.runner import SequenceRunner
+from floam_tpu.utils import checkpoint
+
+from test_odometry import small_config
+
+
+@pytest.mark.slow
+def test_runner_end_to_end(tmp_path):
+    cfg = small_config()
+    world = sim.World.room(size=18.0, height=4.0, num_poles=14, seed=1)
+    gt = sim.spiral_trajectory(8, step=0.12, yaw_rate=0.03)
+
+    def gen():
+        for i, (q, t) in enumerate(gt):
+            yield i * 0.1, sim.simulate_scan(world, q, t, cfg.lidar,
+                                             azimuth_steps=720, seed=i)
+
+    gt_q = np.stack([q for q, _ in gt])
+    gt_t = np.stack([t for _, t in gt])
+    # express gt relative to first pose (runner trajectories start at I)
+    import jax.numpy as jnp
+    from floam_tpu.ops import se3
+
+    q0i, t0i = se3.pose_inverse(jnp.asarray(gt_q[0]), jnp.asarray(gt_t[0]))
+    rel_t = np.stack([
+        np.asarray(se3.pose_compose(q0i, t0i, jnp.asarray(q),
+                                    jnp.asarray(t))[1])
+        for q, t in gt])
+    rel_q = np.stack([
+        np.asarray(se3.pose_compose(q0i, t0i, jnp.asarray(q),
+                                    jnp.asarray(t))[0])
+        for q, t in gt])
+
+    runner = SequenceRunner(cfg, dtype=jnp.float64,
+                            output_dir=tmp_path / "out",
+                            checkpoint_every=4)
+    result = runner.run(gen(), gt=(rel_q, rel_t))
+    assert result.ate is not None and result.ate < 0.05
+    assert (tmp_path / "out" / "trajectory_kitti.txt").exists()
+    assert (tmp_path / "out" / "trajectory_tum.txt").exists()
+    assert (tmp_path / "out" / "checkpoint.npz").exists()
+    summary = json.loads((tmp_path / "out" / "summary.json").read_text())
+    assert summary["frames"] == 8
+    assert summary["scans_per_sec"] > 0
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = small_config()
+    state = odometry.init_state(cfg, dtype=jnp.float64)
+    from floam_tpu.types import PointBatch
+
+    pts = PointBatch(xyz=jnp.asarray(rng.uniform(-5, 5, (512, 3))),
+                     mask=jnp.ones(512, bool))
+    state = odometry.init_map(state, pts, pts, cfg)
+    state, _ = odometry.odom_step(state, pts, pts, cfg)
+
+    stamps = np.array([0.0, 0.1])
+    quats = np.tile([1.0, 0, 0, 0], (2, 1))
+    trans = np.zeros((2, 3))
+    checkpoint.save_checkpoint(tmp_path / "ck.npz", state, stamps, quats,
+                               trans)
+
+    template = odometry.init_state(cfg, dtype=jnp.float64)
+    restored, st2, q2, t2 = checkpoint.load_checkpoint(tmp_path / "ck.npz",
+                                                       template)
+    # bit-exact state round trip
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(st2, stamps)
+
+    # resumed state continues identically
+    s1, _ = odometry.odom_step_impl(state, pts, pts, cfg)
+    s2, _ = odometry.odom_step_impl(restored, pts, pts, cfg)
+    np.testing.assert_array_equal(np.asarray(s1.pose.t),
+                                  np.asarray(s2.pose.t))
+
+
+def test_checkpoint_config_mismatch(tmp_path, rng):
+    cfg = small_config()
+    state = odometry.init_state(cfg, dtype=jnp.float64)
+    checkpoint.save_checkpoint(tmp_path / "ck.npz", state, [0.0],
+                               np.zeros((1, 4)), np.zeros((1, 3)))
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        cfg, odom=dataclasses.replace(cfg.odom, map_surf_table=65536))
+    template = odometry.init_state(cfg2, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="config mismatch"):
+        checkpoint.load_checkpoint(tmp_path / "ck.npz", template)
