@@ -144,7 +144,7 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
         jnp.asarray(e_offs), jnp.asarray(e_deltas))
     kth_e, win_e = voxelmap.select_k_mask(d2_e, k)
     ef = residuals.edge_association_fused(
-        edge_xyz, cand_e, win_e, kth_e, k, oc.nn_radius_sq,
+        edge_xyz, pw_edge, cand_e, win_e, kth_e, k, oc.nn_radius_sq,
         oc.edge_eig_ratio, oc.line_half_length)
     ef = ef._replace(valid=ef.valid & edge_mask)
 
@@ -154,7 +154,7 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
         jnp.asarray(s_offs), jnp.asarray(s_deltas))
     kth_s, win_s = voxelmap.select_k_mask(d2_s, k)
     sf = residuals.surf_association_fused(
-        surf_xyz, cand_s, win_s, kth_s, k, oc.nn_radius_sq,
+        surf_xyz, pw_surf, cand_s, win_s, kth_s, k, oc.nn_radius_sq,
         oc.plane_fit_tol)
     sf = sf._replace(valid=sf.valid & surf_mask)
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..config import OdomConfig
 from ..types import Pose
 from . import residuals as R
-from .se3 import pose_retract
+from .se3 import pose_retract_right
 
 
 class GNStats(NamedTuple):
@@ -60,7 +60,7 @@ def gn_step(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
     # freeze the pose when the problem is empty/degenerate
     ok = (n_valid >= 6) & jnp.all(jnp.isfinite(delta))
     delta = jnp.where(ok, delta, jnp.zeros_like(delta))
-    q2, t2 = pose_retract(pose.q, pose.t, delta)
+    q2, t2 = pose_retract_right(pose.q, pose.t, delta)
     return Pose(q=q2, t=t2), ce + cs
 
 

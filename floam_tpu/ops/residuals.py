@@ -136,12 +136,16 @@ def surf_association(
                        valid=gate & solvable & plane_ok)
 
 
-def _masked_moments(cand_soa, winners):
-    """First and second moments of the masked candidates — pure (Q, C)
-    elementwise + reductions (wide minor dims; no gathers, no (Q, C, 3)
-    tensors whose size-3 trailing axis would waste ~98% of the 128 VPU
-    lanes; docs/PERFORMANCE.md)."""
-    cx, cy, cz = cand_soa
+def _masked_moments(cand_soa, winners, queries):
+    """First and second moments of the masked candidates RELATIVE TO THE
+    QUERY — pure (Q, C) elementwise + reductions (wide minor dims; no
+    gathers, no (Q, C, 3) tensors whose size-3 trailing axis would waste
+    ~98% of the 128 VPU lanes). Query-centering keeps the second moments
+    O(radius^2) instead of O(|world position|^2), which f32 covariance/
+    plane fits need (docs/PERFORMANCE.md)."""
+    cx = cand_soa[0] - queries[:, 0:1]
+    cy = cand_soa[1] - queries[:, 1:2]
+    cz = cand_soa[2] - queries[:, 2:3]
     w = winners.astype(cx.dtype)
     wx, wy, wz = w * cx, w * cy, w * cz
     S1 = jnp.stack([wx.sum(1), wy.sum(1), wz.sum(1)], axis=-1)  # (Q, 3)
@@ -160,6 +164,7 @@ def _masked_moments(cand_soa, winners):
 
 def edge_association_fused(
     point: jnp.ndarray,  # (Q, 3) sensor frame
+    query_world: jnp.ndarray,  # (Q, 3) query position in world frame
     cand_soa,  # (cx, cy, cz), each (Q, C): candidate centroids (world)
     winners: jnp.ndarray,  # (Q, C) bool, exactly k true where gate passes
     kth_d2: jnp.ndarray,  # (Q,)
@@ -169,15 +174,16 @@ def edge_association_fused(
     half_length: float,
 ) -> EdgeFactors:
     """Gather-free line fit: the covariance of the k nearest map centroids
-    is accumulated as masked moments over the candidate axis instead of
-    extracting the winners. Semantics match edge_association
+    is accumulated as query-centered masked moments over the candidate axis
+    instead of extracting the winners. Semantics match edge_association
     (odomEstimationClass.cpp:144-191)."""
-    S1, S2 = _masked_moments(cand_soa, winners)
-    center = S1 / float(k)
-    cov = S2 - float(k) * center[:, :, None] * center[:, None, :]
+    S1, S2 = _masked_moments(cand_soa, winners, query_world)
+    center_l = S1 / float(k)
+    cov = S2 - float(k) * center_l[:, :, None] * center_l[:, None, :]
     evals, direction = eigh3x3_psd(cov)
     gate = kth_d2 < radius_sq
     ok = gate & (evals[:, 0] > eig_ratio * evals[:, 1])
+    center = center_l + query_world
     pa = center + half_length * direction
     pb = center - half_length * direction
     return EdgeFactors(point=point, pa=pa, pb=pb, valid=ok)
@@ -185,6 +191,7 @@ def edge_association_fused(
 
 def surf_association_fused(
     point: jnp.ndarray,  # (Q, 3)
+    query_world: jnp.ndarray,  # (Q, 3)
     cand_soa,  # (cx, cy, cz), each (Q, C)
     winners: jnp.ndarray,  # (Q, C)
     kth_d2: jnp.ndarray,  # (Q,)
@@ -192,26 +199,42 @@ def surf_association_fused(
     radius_sq: float,
     fit_tol: float,
 ) -> SurfFactors:
-    """Gather-free plane fit via masked normal-equation moments; the
-    per-neighbor fit-quality check becomes a masked max over the candidate
-    axis. Semantics match surf_association (odomEstimationClass.cpp:198-244)."""
-    cx, cy, cz = cand_soa
-    S1, M = _masked_moments(cand_soa, winners)
+    """Gather-free plane fit via query-centered masked normal-equation
+    moments; the per-neighbor fit-quality check becomes a masked max over
+    the candidate axis. Semantics match surf_association
+    (odomEstimationClass.cpp:198-244) up to the A n = -1 normalization
+    being taken about the query instead of the world origin (the
+    reference's f64 world-origin fit is ill-conditioned in f32 kilometres
+    out; the fitted plane is least-squares either way and the 0.2 m
+    quality gate is identical)."""
+    S1, M = _masked_moments(cand_soa, winners, query_world)
     rhs = -S1
     n_raw, solvable = solve3x3(M, rhs)
     norm = jnp.sqrt(jnp.maximum(jnp.sum(n_raw * n_raw, axis=-1), _EPS))
-    d = 1.0 / norm
+    d_local = 1.0 / norm
     n_hat = n_raw / norm[:, None]
-    resid = jnp.abs(cx * n_hat[:, 0:1] + cy * n_hat[:, 1:2]
-                    + cz * n_hat[:, 2:3] + d[:, None])
+    lx = cand_soa[0] - query_world[:, 0:1]
+    ly = cand_soa[1] - query_world[:, 1:2]
+    lz = cand_soa[2] - query_world[:, 2:3]
+    resid = jnp.abs(lx * n_hat[:, 0:1] + ly * n_hat[:, 1:2]
+                    + lz * n_hat[:, 2:3] + d_local[:, None])
     max_resid = jnp.max(jnp.where(winners, resid, 0.0), axis=1)
     gate = kth_d2 < radius_sq
-    return SurfFactors(point=point, normal=n_hat, offset=d,
+    d_world = d_local - jnp.sum(n_hat * query_world, axis=-1)
+    return SurfFactors(point=point, normal=n_hat, offset=d_world,
                        valid=gate & solvable & (max_resid <= fit_tol))
 
 
 def edge_residual_jacobian(q, t, f: EdgeFactors):
-    """Batched point-to-line residual + 1x6 Jacobian (lidarOptimization.cpp:12-43)."""
+    """Batched point-to-line residual + 1x6 Jacobian.
+
+    The residual matches EdgeAnalyticCostFunction (lidarOptimization.cpp:
+    12-43); the Jacobian is taken w.r.t. the BODY-frame perturbation
+    T * exp(xi) (se3.pose_retract_right) rather than the reference's
+    world-frame exp(xi) * T, for f32 conditioning far from the origin.
+    """
+    from .se3 import quat_conj
+
     pw = quat_rotate(q[None, :], f.point) + t[None, :]  # (Q, 3)
     u = pw - f.pa
     v = pw - f.pb
@@ -220,20 +243,26 @@ def edge_residual_jacobian(q, t, f: EdgeFactors):
     nu_n = jnp.sqrt(jnp.maximum(jnp.sum(nu * nu, axis=-1), _EPS))
     de_n = jnp.sqrt(jnp.maximum(jnp.sum(de * de, axis=-1), _EPS))
     r = nu_n / de_n
-    # dr/dpw = -nu^T [de]_x / (|nu| |de|) ; then dpw/dxi = [-[pw]_x | I]
+    # dr/dpw = -(nhat x de)^T / |de|; dpw/dxi_right = R [-[p]_x | I]
     nhat = nu / nu_n[:, None]
-    g = -jnp.cross(nhat, de) / de_n[:, None]  # row vector -n^T [de]_x
-    J_rot = jnp.cross(pw, g)  # g^T (-[pw]_x) = (pw x g)^T
-    J = jnp.concatenate([J_rot, g], axis=-1)  # (Q, 6)
+    g = -jnp.cross(nhat, de) / de_n[:, None]
+    g_body = quat_rotate(quat_conj(q)[None, :], g)  # R^T g
+    J_rot = jnp.cross(f.point, g_body)  # (p x R^T g)^T = -g R [p]_x
+    J = jnp.concatenate([J_rot, g_body], axis=-1)  # (Q, 6)
     return r, J
 
 
 def surf_residual_jacobian(q, t, f: SurfFactors):
-    """Batched point-to-plane residual + 1x6 Jacobian (lidarOptimization.cpp:51-74)."""
+    """Batched point-to-plane residual + 1x6 Jacobian (residual per
+    SurfNormAnalyticCostFunction, lidarOptimization.cpp:51-74; Jacobian in
+    the body-frame chart — see edge_residual_jacobian)."""
+    from .se3 import quat_conj
+
     pw = quat_rotate(q[None, :], f.point) + t[None, :]
     r = jnp.sum(f.normal * pw, axis=-1) + f.offset
-    J_rot = jnp.cross(pw, f.normal)  # n^T (-[pw]_x)
-    J = jnp.concatenate([J_rot, f.normal], axis=-1)
+    n_body = quat_rotate(quat_conj(q)[None, :], f.normal)
+    J_rot = jnp.cross(f.point, n_body)
+    J = jnp.concatenate([J_rot, n_body], axis=-1)
     return r, J
 
 

@@ -231,6 +231,20 @@ def pose_retract(q, t, xi):
     return quat_normalize(quat_mul(dq, q)), quat_rotate(dq, t) + dt
 
 
+def pose_retract_right(q, t, xi):
+    """Right-multiplicative (body-frame) update T * exp(xi).
+
+    The engine's solvers use this instead of the reference's left/world
+    perturbation: with left perturbation the rotation Jacobian scales with
+    the world position (J_rot ~ [p_world]_x), so kilometres from the origin
+    the 6x6 normal equations condition like |t|^4 and fall apart in f32.
+    Body-frame perturbation bounds J_rot by the sensor range. Same optimum,
+    different chart.
+    """
+    dq, dt = se3_exp(xi)
+    return quat_normalize(quat_mul(q, dq)), quat_rotate(q, dt) + t
+
+
 def transform_points(q, t, pts):
     """Apply pose to (..., 3) points (pointAssociateToMap,
     src/odomEstimationClass.cpp:126-135)."""

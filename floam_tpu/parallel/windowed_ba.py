@@ -66,8 +66,8 @@ def _prior_residual(xi_i, xi_j, q_i, t_i, q_j, t_j, dq, dt):
     """r = log( Z^{-1} * (exp(xi_i) T_i)^{-1} * (exp(xi_j) T_j) ) with Z the
     measured relative pose; evaluated at the linearization point via local
     deltas so jax.jacrev yields the exact GN Jacobian blocks."""
-    qi, ti = se3.pose_retract(q_i, t_i, xi_i)
-    qj, tj = se3.pose_retract(q_j, t_j, xi_j)
+    qi, ti = se3.pose_retract_right(q_i, t_i, xi_i)
+    qj, tj = se3.pose_retract_right(q_j, t_j, xi_j)
     q_rel, t_rel = se3.pose_compose(*se3.pose_inverse(qi, ti), qj, tj)
     q_err, t_err = se3.pose_compose(*se3.pose_inverse(dq, dt), q_rel, t_rel)
     return se3.se3_log(q_err, t_err)
@@ -143,7 +143,7 @@ def ba_refine(p: BAProblem, cfg: OdomConfig, iters: int = 4,
             # gauge fix: huge prior on delta_0 = 0
             H = H.at[:6, :6].add(1e12 * jnp.eye(6, dtype=dtype))
         delta = -jnp.linalg.solve(H, b).reshape(K, 6)
-        q2, t2 = jax.vmap(se3.pose_retract)(prob.quats, prob.trans, delta)
+        q2, t2 = jax.vmap(se3.pose_retract_right)(prob.quats, prob.trans, delta)
         return prob._replace(quats=q2, trans=t2)
 
     return jax.lax.fori_loop(0, iters, body, p)

@@ -107,10 +107,27 @@ def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig):
 
 @dataclasses.dataclass
 class FrameRecord:
+    """Per-frame result. Pose/keyframe fields are device-backed and
+    convert lazily: forcing a host readback every frame costs ~10-100x the
+    whole device step in sync latency (the reference's equivalent is its
+    per-frame ROS publish, which is also fire-and-forget)."""
+
     stamp: float
-    pose_q: np.ndarray  # (4,) wxyz
-    pose_t: np.ndarray  # (3,)
-    is_keyframe: bool
+    _q: Any
+    _t: Any
+    _kf: Any
+
+    @property
+    def pose_q(self) -> np.ndarray:
+        return np.asarray(self._q)
+
+    @property
+    def pose_t(self) -> np.ndarray:
+        return np.asarray(self._t)
+
+    @property
+    def is_keyframe(self) -> bool:
+        return bool(self._kf)
 
 
 class Pipeline:
@@ -136,16 +153,14 @@ class Pipeline:
             edge, surf = _features_from_scan(scan, self.cfg)
             self.state = odometry.init_map(self.state, edge, surf, self.cfg)
             self._initialized = True
-            rec = FrameRecord(stamp, np.array([1.0, 0, 0, 0]), np.zeros(3),
-                              True)
+            rec = FrameRecord(stamp, jnp.asarray([1.0, 0, 0, 0], self.dtype),
+                              jnp.zeros(3, self.dtype), jnp.asarray(True))
         else:
             self.state, diag = self._step(self.state, scan)
-            rec = FrameRecord(
-                stamp,
-                np.asarray(self.state.pose.q),
-                np.asarray(self.state.pose.t),
-                bool(diag.is_keyframe),
-            )
+            # device-backed record: async device copies (the state buffers
+            # themselves are donated into the next step), no host sync
+            rec = FrameRecord(stamp, self.state.pose.q.copy(),
+                              self.state.pose.t.copy(), diag.is_keyframe)
         self._times_ms.append((time.perf_counter() - t0) * 1e3)
         self.frames.append(rec)
         if self.collect_clouds:
@@ -169,10 +184,11 @@ class Pipeline:
             else self._times_ms[0]
 
     def trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(stamps (N,), quats (N,4) wxyz, trans (N,3))."""
+        """(stamps (N,), quats (N,4) wxyz, trans (N,3)); one batched
+        device->host transfer for the whole trajectory."""
+        if not self.frames:
+            return np.zeros((0,)), np.zeros((0, 4)), np.zeros((0, 3))
         st = np.array([f.stamp for f in self.frames])
-        qs = np.stack([f.pose_q for f in self.frames]) if self.frames else \
-            np.zeros((0, 4))
-        ts = np.stack([f.pose_t for f in self.frames]) if self.frames else \
-            np.zeros((0, 3))
+        qs = np.asarray(jnp.stack([f._q for f in self.frames]))
+        ts = np.asarray(jnp.stack([f._t for f in self.frames]))
         return st, qs, ts

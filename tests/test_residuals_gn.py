@@ -63,7 +63,7 @@ def test_edge_jacobian_vs_autodiff(rng):
     r, J = R.edge_residual_jacobian(pose.q, pose.t, f)
 
     def r_of_xi(xi):
-        q2, t2 = se3.pose_retract(pose.q, pose.t, xi)
+        q2, t2 = se3.pose_retract_right(pose.q, pose.t, xi)
         return R.edge_residual_jacobian(q2, t2, f)[0]
 
     J_auto = jax.jacobian(r_of_xi)(jnp.zeros(6, jnp.float64))
@@ -76,7 +76,7 @@ def test_surf_jacobian_vs_autodiff(rng):
     r, J = R.surf_residual_jacobian(pose.q, pose.t, f)
 
     def r_of_xi(xi):
-        q2, t2 = se3.pose_retract(pose.q, pose.t, xi)
+        q2, t2 = se3.pose_retract_right(pose.q, pose.t, xi)
         return R.surf_residual_jacobian(q2, t2, f)[0]
 
     J_auto = jax.jacobian(r_of_xi)(jnp.zeros(6, jnp.float64))
