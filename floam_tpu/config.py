@@ -111,6 +111,13 @@ class OdomConfig:
     min_map_surf: int = 50
     #: Levenberg damping added to the 6x6 normal matrix diagonal
     damping: float = 1e-4
+    #: early-exit the outer association rounds once a round moves the pose
+    #: by less than the thresholds below (re-association at an unchanged
+    #: pose reproduces the same factors, so skipping is exact; the
+    #: reference always runs its full decayed count)
+    adaptive_rounds: bool = True
+    converge_transl: float = 1e-3
+    converge_rot: float = 2e-4
     #: NN grid cell size (must be >= sqrt(nn_radius_sq) so that a 3^3
     #: neighborhood covers the search radius) — used by the generic sorted
     #: -grid search in ops.knn; the odometry hot path uses the voxel hash

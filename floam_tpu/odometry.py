@@ -213,17 +213,38 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
     map_surf_n = state.map.surf.num_occupied()
     guard = (map_edge_n > oc.min_map_edge) & (map_surf_n > oc.min_map_surf)
 
-    # --- outer association rounds (:81) ---
-    def outer_body(_, carry):
-        pose, _ = carry
-        return _associate_and_solve(pose, state.map, e_xyz, e_mask,
-                                    s_xyz, s_mask, oc)
-
+    # --- outer association rounds (:81), with optional convergence
+    #     early-exit (re-associating at an unchanged pose is a no-op) ---
     stats0 = gn.GNStats(num_edge=jnp.asarray(0, jnp.int32),
                         num_surf=jnp.asarray(0, jnp.int32),
                         cost=jnp.asarray(0.0, dtype))
-    opt_pose, stats = jax.lax.fori_loop(0, opt_count, outer_body,
-                                        (pred, stats0))
+
+    if oc.adaptive_rounds:
+        def cond(carry):
+            i, _, _, done = carry
+            return (i < opt_count) & ~done
+
+        def body(carry):
+            i, pose, _, _ = carry
+            pose2, stats = _associate_and_solve(pose, state.map, e_xyz,
+                                                e_mask, s_xyz, s_mask, oc)
+            dt_norm = jnp.linalg.norm(pose2.t - pose.t)
+            dq = se3.quat_mul(se3.quat_conj(pose.q), pose2.q)
+            converged = (dt_norm < oc.converge_transl) & \
+                (se3.rotation_angle(dq) < oc.converge_rot)
+            return i + 1, pose2, stats, converged
+
+        _, opt_pose, stats, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), pred, stats0,
+                         jnp.asarray(False)))
+    else:
+        def outer_body(_, carry):
+            pose, _ = carry
+            return _associate_and_solve(pose, state.map, e_xyz, e_mask,
+                                        s_xyz, s_mask, oc)
+
+        opt_pose, stats = jax.lax.fori_loop(0, opt_count, outer_body,
+                                            (pred, stats0))
     new_pose = jax.tree_util.tree_map(
         lambda a, b: jnp.where(guard, a, b), opt_pose, pred)
 
