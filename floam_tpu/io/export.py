@@ -188,3 +188,44 @@ def load_kitti_trajectory(path) -> Tuple[np.ndarray, np.ndarray]:
     t = data[:, :, 3]
     q = np.asarray(se3.mat_to_quat(jnp.asarray(R)))
     return q, t
+
+
+def save_frame_info(path, frames) -> None:
+    """Per-frame structured record stream — the equivalent of the
+    reference's lio_sam `cloud_info` bridge topic (PublishInfo,
+    src/odomEstimationNode.cpp:125-166): per frame the registered pose as
+    initial guess for a downstream pose-graph back-end plus factor-count
+    diagnostics. JSONL; one object per frame. (The reference's message
+    also carried the surf cloud duplicated into BOTH cloud fields —
+    quirk 4; clouds here are exported separately via save_odom/save_balm.)
+    """
+    import json
+
+    import jax.numpy as jnp
+
+    from ..ops import se3
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for fr in frames:
+            q = np.asarray(fr.pose_q, np.float64)
+            t = np.asarray(fr.pose_t, np.float64)
+            R = np.asarray(se3.quat_to_mat(jnp.asarray(q)))
+            # ZYX euler (yaw-pitch-roll) initial-guess fields
+            yaw = float(np.arctan2(R[1, 0], R[0, 0]))
+            pitch = float(np.arcsin(np.clip(-R[2, 0], -1, 1)))
+            roll = float(np.arctan2(R[2, 1], R[2, 2]))
+            f.write(json.dumps({
+                "stamp": fr.stamp,
+                "initial_guess_x": float(t[0]),
+                "initial_guess_y": float(t[1]),
+                "initial_guess_z": float(t[2]),
+                "initial_guess_roll": roll,
+                "initial_guess_pitch": pitch,
+                "initial_guess_yaw": yaw,
+                "quat_wxyz": q.tolist(),
+                "is_keyframe": bool(fr.is_keyframe),
+                "num_edge_factors": fr.num_edge_factors,
+                "num_surf_factors": fr.num_surf_factors,
+            }) + "\n")

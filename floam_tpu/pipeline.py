@@ -116,6 +116,8 @@ class FrameRecord:
     _q: Any
     _t: Any
     _kf: Any
+    _n_edge: Any = None
+    _n_surf: Any = None
 
     @property
     def pose_q(self) -> np.ndarray:
@@ -128,6 +130,14 @@ class FrameRecord:
     @property
     def is_keyframe(self) -> bool:
         return bool(self._kf)
+
+    @property
+    def num_edge_factors(self) -> int:
+        return int(self._n_edge) if self._n_edge is not None else 0
+
+    @property
+    def num_surf_factors(self) -> int:
+        return int(self._n_surf) if self._n_surf is not None else 0
 
 
 class Pipeline:
@@ -146,9 +156,44 @@ class Pipeline:
         self.clouds: List[np.ndarray] = []  # filtered feature clouds (world)
         self._times_ms: List[float] = []
         self._initialized = False
+        #: host-side IMU buffer for the rotational-deskew path
+        self.imu = deskew_ops.ImuStream(cfg.deskew.imu_window)
+        from .ops import se3 as _se3
+
+        r, p, y = cfg.deskew.extrinsic_rpy
+        self._extrinsic_q = jnp.asarray(
+            _se3.euler_to_quat(r, p, y), dtype)
+
+    def add_imu(self, stamp: float, orientation_wxyz) -> bool:
+        """Feed an IMU orientation sample (imuSubscriber + ImuHandler::AddMsg,
+        src/laserProcessingNode.cpp:84-89, src/dataHandler.cpp:24-40)."""
+        return self.imu.add(stamp, orientation_wxyz)
+
+    def _apply_imu_deskew(self, scan: RingScan, stamp: float) -> RingScan:
+        """Rotational deskew + orientation alignment (the laserProcessing
+        node's Compensate + ImuNowT transform, laserProcessingNode.cpp:
+        108-121). Skips the scan's compensation when IMU data does not
+        cover it (:109-112 prints and drops; here we fall through to the
+        uncompensated cloud so odometry still runs)."""
+        t = np.asarray(scan.time)
+        m = np.asarray(scan.mask)
+        if not m.any():
+            return scan
+        t0 = stamp + float(t[m].min())
+        t1 = stamp + float(t[m].max())
+        if not (self.imu.contains(t0) and self.imu.contains(t1)):
+            return scan
+        stamps, quats, n = self.imu.window(t0, t1)
+        out, q_init = deskew_ops.rotational_deskew(
+            scan, jnp.asarray(stamp, self.dtype), jnp.asarray(stamps),
+            jnp.asarray(quats), jnp.asarray(n), self._extrinsic_q,
+            slerp=self.cfg.deskew.slerp)
+        return deskew_ops.align_to_orientation(out, q_init)
 
     def process(self, scan: RingScan, stamp: float = 0.0) -> FrameRecord:
         t0 = time.perf_counter()
+        if self.cfg.deskew.enabled:
+            scan = self._apply_imu_deskew(scan, stamp)
         if not self._initialized:
             edge, surf = _features_from_scan(scan, self.cfg)
             self.state = odometry.init_map(self.state, edge, surf, self.cfg)
@@ -160,7 +205,8 @@ class Pipeline:
             # device-backed record: async device copies (the state buffers
             # themselves are donated into the next step), no host sync
             rec = FrameRecord(stamp, self.state.pose.q.copy(),
-                              self.state.pose.t.copy(), diag.is_keyframe)
+                              self.state.pose.t.copy(), diag.is_keyframe,
+                              diag.num_edge_factors, diag.num_surf_factors)
         self._times_ms.append((time.perf_counter() - t0) * 1e3)
         self.frames.append(rec)
         if self.collect_clouds:

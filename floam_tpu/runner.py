@@ -102,6 +102,7 @@ class SequenceRunner:
         ec = self.cfg.export
         ex.save_kitti_trajectory(out / "trajectory_kitti.txt", result.quats,
                                  result.trans)
+        ex.save_frame_info(out / "frame_info.jsonl", self.pipe.frames)
         ex.save_tum_trajectory(out / "trajectory_tum.txt", result.stamps,
                                result.quats, result.trans)
         if ec.save_posegraph:

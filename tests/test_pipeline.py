@@ -106,3 +106,52 @@ def test_pipeline_velocity_estimate_accuracy():
     est_vel = (pipe.frames[-1].pose_t - pipe.frames[-2].pose_t) / \
         cfg.lidar.scan_period
     np.testing.assert_allclose(est_vel, vel, atol=0.35)  # ~10% of 3.2 m/s
+
+
+@pytest.mark.slow
+def test_pipeline_imu_rotational_deskew():
+    """Scans with rotational skew (sensor yawing during the sweep): feeding
+    exact IMU orientations through the rotational-deskew path must beat the
+    IMU-less run (Compensate + orientation alignment,
+    src/laserProcessingNode.cpp:108-121)."""
+    base = small_config()
+    world = sim.World.room(size=18.0, height=4.0, num_poles=14, seed=3)
+    num = 6
+    T = base.lidar.scan_period
+    yaw_rate = 0.35  # rad per revolution: ~20 deg of skew
+    omega = np.array([0.0, 0.0, yaw_rate / T])
+    gt = sim.spiral_trajectory(num, step=0.0, yaw_rate=yaw_rate)
+
+    def make_scan(i, q, t):
+        return sim.simulate_scan(world, q, t, base.lidar, azimuth_steps=720,
+                                 seed=i, motion_per_rev=(np.zeros(3), omega))
+
+    def run(with_imu):
+        cfg = base
+        if with_imu:
+            cfg = dataclasses.replace(
+                base, deskew=dataclasses.replace(
+                    base.deskew, enabled=True,
+                    extrinsic_rpy=(0.0, 0.0, 0.0)))
+        pipe = Pipeline(cfg, dtype=jnp.float64)
+        if with_imu:
+            # dense exact attitude samples across the whole run
+            for ts in np.arange(-0.02, num * T + 0.02, 0.005):
+                k = np.asarray(se3.so3_exp_quat(jnp.asarray(omega * ts)))
+                q0 = np.asarray(gt[0][0])
+                att = np.asarray(se3.quat_mul(jnp.asarray(k),
+                                              jnp.asarray(q0)))
+                pipe.add_imu(float(ts), att)
+        for i, (q, t) in enumerate(gt):
+            pipe.process(make_scan(i, q, t), stamp=i * T)
+        # positions only (the IMU-aligned frames carry a different rotation
+        # convention); gt is a pure-yaw hover so positions are the signal
+        errs = [np.linalg.norm(f.pose_t - (np.asarray(gt[i][1])
+                                           - np.asarray(gt[0][1])))
+                for i, f in enumerate(pipe.frames)]
+        return float(np.sqrt(np.mean(np.square(errs))))
+
+    ate_plain = run(False)
+    ate_imu = run(True)
+    assert ate_imu < 0.03, (ate_plain, ate_imu)
+    assert ate_imu < ate_plain, (ate_plain, ate_imu)
