@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .sparse import table_gather, table_scatter_add, table_scatter_set
 from .voxel import cell_key
 
 EMPTY_KEY = jnp.uint32(0xFFFFFFFF)  # cell_key never produces this
@@ -121,11 +122,11 @@ def _resolve_ways(table_keys: jnp.ndarray, bucket: jnp.ndarray,
     pending = mask
     for w in range(NUM_WAYS):
         slot = bucket * NUM_WAYS + w
-        cur = table_keys[slot]
+        cur = table_gather(table_keys, slot)
         claimable = pending & (cur == EMPTY_KEY)
-        table_keys = table_keys.at[
-            jnp.where(claimable, slot, HW)].set(pkeys, mode="drop")
-        winner = table_keys[slot]
+        table_keys = table_scatter_set(
+            table_keys, jnp.where(claimable, slot, HW), pkeys)
+        winner = table_gather(table_keys, slot)
         resolved = pending & (winner == pkeys)
         slot_out = jnp.where(resolved, slot, slot_out)
         pending = pending & ~resolved
@@ -146,10 +147,10 @@ def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
     bucket = _bucket_of(mkey, H)
     slot, keys = _resolve_ways(vm.keys, bucket, mkey, mask, H)
     w = (slot < H * NUM_WAYS).astype(vm.sx.dtype)
-    sx = vm.sx.at[slot].add(xyz[:, 0].astype(vm.sx.dtype) * w, mode="drop")
-    sy = vm.sy.at[slot].add(xyz[:, 1].astype(vm.sx.dtype) * w, mode="drop")
-    sz = vm.sz.at[slot].add(xyz[:, 2].astype(vm.sx.dtype) * w, mode="drop")
-    counts = vm.counts.at[slot].add(w, mode="drop")
+    sx = table_scatter_add(vm.sx, slot, xyz[:, 0].astype(vm.sx.dtype) * w)
+    sy = table_scatter_add(vm.sy, slot, xyz[:, 1].astype(vm.sx.dtype) * w)
+    sz = table_scatter_add(vm.sz, slot, xyz[:, 2].astype(vm.sx.dtype) * w)
+    counts = table_scatter_add(vm.counts, slot, w)
     over = counts > count_cap
     scale = jnp.where(over, count_cap / jnp.maximum(counts, 1.0), 1.0)
     return vm._replace(sx=sx * scale, sy=sy * scale, sz=sz * scale,
@@ -340,7 +341,7 @@ def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
     base_key = linear_key(base)
     lkeys = base_key[:, None] + deltas[None, :]
     bkt = _bucket_of(lkeys, H)
-    rows = packed_view[bkt]  # (Q, O, 16) channel-blocked
+    rows = table_gather(packed_view, bkt)  # (Q, O, 16) channel-blocked
     W = NUM_WAYS
     cx = rows[:, :, 0 * W:1 * W].reshape(Q, O * W)
     cy = rows[:, :, 1 * W:2 * W].reshape(Q, O * W)
@@ -383,12 +384,10 @@ def compact(vm: VoxelHashMap, out_capacity: int
     c, occ = vm.centroids()
     pos = jnp.cumsum(occ.astype(jnp.int32)) - 1  # target index per slot
     tgt = jnp.where(occ & (pos < out_capacity), pos, out_capacity)
-    ox = jnp.zeros((out_capacity,), vm.sx.dtype).at[tgt].set(
-        c[:, 0], mode="drop")
-    oy = jnp.zeros((out_capacity,), vm.sx.dtype).at[tgt].set(
-        c[:, 1], mode="drop")
-    oz = jnp.zeros((out_capacity,), vm.sx.dtype).at[tgt].set(
-        c[:, 2], mode="drop")
+    zeros = lambda: jnp.zeros((out_capacity,), vm.sx.dtype)
+    ox = table_scatter_set(zeros(), tgt, c[:, 0])
+    oy = table_scatter_set(zeros(), tgt, c[:, 1])
+    oz = table_scatter_set(zeros(), tgt, c[:, 2])
     n = jnp.minimum(jnp.sum(occ, dtype=jnp.int32), out_capacity)
     mask = jnp.arange(out_capacity) < n
     return jnp.stack([ox, oy, oz], axis=-1), mask
