@@ -27,6 +27,38 @@ from .utils.checkpoint import save_checkpoint
 from .utils.profiling import RateMeter
 
 
+def _watchdog_iter(source: Iterable, timeout_s: float) -> Iterator:
+    """Producer-thread wrapper that ends the stream after ``timeout_s`` of
+    silence from the source (the reference's keep_running watchdog)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=16)
+    _END = object()
+
+    def pump():
+        try:
+            for item in source:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    import queue as _qmod
+
+    while True:
+        try:
+            item = q.get(timeout=timeout_s)
+        except _qmod.Empty:
+            print(f"[floam_tpu] no data for {timeout_s:.1f}s — "
+                  "stopping and saving", flush=True)
+            return
+        if item is _END:
+            return
+        yield item
+
+
 @dataclasses.dataclass
 class RunResult:
     stamps: np.ndarray
@@ -51,7 +83,15 @@ class SequenceRunner:
 
     def run(self, scans: Iterable[Tuple[float, RingScan]],
             gt: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-            progress_every: int = 0) -> RunResult:
+            progress_every: int = 0,
+            idle_timeout_s: Optional[float] = None) -> RunResult:
+        """Consume the scan stream. ``idle_timeout_s`` arms the liveness
+        watchdog of the reference's odometry node (3 s of data silence
+        triggers a graceful stop-and-save, src/odomEstimationNode.cpp:
+        170-174): when the source yields nothing for that long, the run
+        ends and exports are still written."""
+        if idle_timeout_s is not None:
+            scans = _watchdog_iter(scans, idle_timeout_s)
         n = 0
         for stamp, scan in scans:
             with self.meter.frame():

@@ -99,3 +99,30 @@ def test_checkpoint_config_mismatch(tmp_path, rng):
     template = odometry.init_state(cfg2, dtype=jnp.float64)
     with pytest.raises(ValueError, match="config mismatch"):
         checkpoint.load_checkpoint(tmp_path / "ck.npz", template)
+
+
+def test_watchdog_stops_stalled_stream(tmp_path):
+    """Liveness watchdog: a stalled source ends the run and exports are
+    still written (reference watchdog, odomEstimationNode.cpp:170-174)."""
+    import time as _time
+
+    cfg = small_config()
+    world = sim.World.room(size=18.0, height=4.0, num_poles=8, seed=0)
+    gt = sim.spiral_trajectory(3, step=0.1)
+
+    def stalling_gen():
+        for i, (q, t) in enumerate(gt):
+            yield i * 0.1, sim.simulate_scan(world, q, t, cfg.lidar,
+                                             azimuth_steps=360, seed=i)
+        _time.sleep(30)  # stall: watchdog must fire long before this ends
+        raise AssertionError("watchdog did not fire")
+
+    runner = SequenceRunner(cfg, dtype=jnp.float64,
+                            output_dir=tmp_path / "wd")
+    t0 = _time.time()
+    result = runner.run(stalling_gen(), idle_timeout_s=0.5)
+    # budget covers jit compilation of the 3 frames; the stall itself
+    # is 30 s, so finishing sooner proves the watchdog fired
+    assert _time.time() - t0 < 28.0
+    assert len(result.stamps) == 3
+    assert (tmp_path / "wd" / "trajectory_kitti.txt").exists()
