@@ -147,33 +147,41 @@ def extract_features_full(scan: RingScan, cfg: FeatureConfig):
                                ).reshape(RS, C)
     rows = jnp.arange(RS)
 
+    eslot = jnp.arange(EPS, dtype=jnp.int32)[None, :]  # (1, EPS)
+
     def body(i, state):
+        # every per-pick extraction is a one-hot dense reduction (NOT
+        # take_along_axis / per-row scatter): those lower to the slow
+        # batched-gather class under vmap, which the sequence-batched and
+        # multi-chip paths rely on (docs/PERFORMANCE.md)
         picked, edge, count, done, ebuf, etime, evalid = state
         avail_curv = jnp.where(cand & ~picked, curv_b, _NEG.astype(dtype))
         ind = jnp.argmax(avail_curv, axis=1)  # (RS,)
-        val = jnp.take_along_axis(avail_curv, ind[:, None], axis=1)[:, 0]
+        val = jnp.max(avail_curv, axis=1)
         can_pick = (~done) & (val > thr)
         is_edge = can_pick & (count < cfg.edges_per_sector)
         is_last = can_pick & (count >= cfg.edges_per_sector)
 
         onehot = col == ind[:, None]  # (RS, C)
-        l = jnp.take_along_axis(left_b, ind[:, None], axis=1)
-        r = jnp.take_along_axis(right_b, ind[:, None], axis=1)
+        ohf = onehot.astype(dtype)
+        l = jnp.sum(jnp.where(onehot, left_b, 0), axis=1)[:, None]
+        r = jnp.sum(jnp.where(onehot, right_b, 0), axis=1)[:, None]
         window = (col >= ind[:, None] - l) & (col <= ind[:, None] + r)
 
         picked = picked | (is_edge[:, None] & (window | onehot))
         picked = picked | (is_last[:, None] & onehot)
         edge = edge | (is_edge[:, None] & onehot)
         # collect the pick position into slot (rs, count)
-        pick_xyz = jnp.take_along_axis(
-            xyz_rs, ind[:, None, None], axis=1)[:, 0, :]  # (RS, 3)
-        pick_t = jnp.take_along_axis(time_rs, ind[:, None], axis=1)[:, 0]
-        slot = jnp.clip(count, 0, EPS - 1)
-        ebuf = ebuf.at[rows, slot].set(
-            jnp.where(is_edge[:, None], pick_xyz, ebuf[rows, slot]))
-        etime = etime.at[rows, slot].set(
-            jnp.where(is_edge, pick_t, etime[rows, slot]))
-        evalid = evalid.at[rows, slot].set(evalid[rows, slot] | is_edge)
+        pick_x = jnp.sum(ohf * xyz_rs[:, :, 0], axis=1)
+        pick_y = jnp.sum(ohf * xyz_rs[:, :, 1], axis=1)
+        pick_z = jnp.sum(ohf * xyz_rs[:, :, 2], axis=1)
+        pick_t = jnp.sum(jnp.where(onehot, time_rs, 0), axis=1)
+        slot_oh = (eslot == jnp.clip(count, 0, EPS - 1)[:, None])  # (RS,EPS)
+        put = is_edge[:, None] & slot_oh
+        pick_xyz = jnp.stack([pick_x, pick_y, pick_z], axis=-1)
+        ebuf = jnp.where(put[..., None], pick_xyz[:, None, :], ebuf)
+        etime = jnp.where(put, pick_t[:, None], etime)
+        evalid = evalid | put
         count = count + can_pick.astype(jnp.int32)
         done = done | ~can_pick | is_last
         return picked, edge, count, done, ebuf, etime, evalid
