@@ -61,14 +61,9 @@ def _edge_offsets(leaf: float, radius: float):
 
 @functools.lru_cache(maxsize=None)
 def _search_offsets(leaf: float, radius: float, num_buckets: int):
-    """Pruned + bucket-deduped offsets and their linear-key deltas for a
-    given table (static per config)."""
-    import numpy as np
-
-    offs = voxelmap.dedup_offsets(
-        voxelmap.neighbor_offsets(leaf, radius), num_buckets)
-    deltas = voxelmap.offset_key_deltas(offs)
-    return np.asarray(offs), np.asarray(deltas)
+    """Per-octant pruned + bucket-deduped linear-key delta tables for a
+    given map table (static per config)."""
+    return voxelmap.octant_offset_tables(leaf, radius, num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -133,15 +128,15 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
     variants and docs/PERFORMANCE.md)."""
     radius = float(oc.nn_radius_sq) ** 0.5
     k = oc.k_neighbors
-    e_offs, e_deltas = _search_offsets(_edge_leaf(oc), radius,
-                                       oc.map_edge_table)
-    s_offs, s_deltas = _search_offsets(_surf_leaf(oc), radius,
-                                       oc.map_surf_table)
+    e_deltas, e_valid = _search_offsets(_edge_leaf(oc), radius,
+                                        oc.map_edge_table)
+    s_deltas, s_valid = _search_offsets(_surf_leaf(oc), radius,
+                                        oc.map_surf_table)
 
     pw_edge = se3.quat_rotate(pose.q[None, :], edge_xyz) + pose.t
     cand_e, d2_e = voxelmap.query_candidates(
         map_state.edge_view, map_state.edge.leaf, pw_edge,
-        jnp.asarray(e_offs), jnp.asarray(e_deltas))
+        jnp.asarray(e_deltas), jnp.asarray(e_valid))
     kth_e, win_e = voxelmap.select_k_mask(d2_e, k)
     ef = residuals.edge_association_fused(
         edge_xyz, pw_edge, cand_e, win_e, kth_e, k, oc.nn_radius_sq,
@@ -151,7 +146,7 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
     pw_surf = se3.quat_rotate(pose.q[None, :], surf_xyz) + pose.t
     cand_s, d2_s = voxelmap.query_candidates(
         map_state.surf_view, map_state.surf.leaf, pw_surf,
-        jnp.asarray(s_offs), jnp.asarray(s_deltas))
+        jnp.asarray(s_deltas), jnp.asarray(s_valid))
     kth_s, win_s = voxelmap.select_k_mask(d2_s, k)
     sf = residuals.surf_association_fused(
         surf_xyz, pw_surf, cand_s, win_s, kth_s, k, oc.nn_radius_sq,

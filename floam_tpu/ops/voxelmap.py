@@ -262,8 +262,7 @@ def _query_impl(packed_view, leaf, queries, qmask, offsets, deltas, k: int):
     O = offsets.shape[0]
     H = packed_view.shape[0]
     dtype = queries.dtype
-    (cx, cy, cz), d2 = query_candidates(packed_view, leaf, queries,
-                                        offsets, deltas)
+    (cx, cy, cz), d2 = query_candidates(packed_view, leaf, queries, deltas)
     sel_d2, nn_idx = _packed_min_k(d2.astype(jnp.float32), k)
     nx = jnp.take_along_axis(cx, nn_idx, axis=1)
     ny = jnp.take_along_axis(cy, nn_idx, axis=1)
@@ -315,6 +314,47 @@ def query_knn(vm_or_view, queries: jnp.ndarray, qmask: jnp.ndarray,
 # Compaction + sort-free downsample
 # ---------------------------------------------------------------------------
 
+def octant_offset_tables(leaf: float, radius: float, num_buckets: int):
+    """Per-octant pruned + bucket-deduped neighbor tables.
+
+    A query in the low-x half of its cell can never reach cells whose
+    minimum distance from that half-cell exceeds the radius; conditioning
+    the offset set on the query's cell octant prunes ~30% of the gathered
+    rows versus the whole-cell bound (54 vs 81 cells at leaf 0.8 /
+    radius 1.0; 196 vs 275 at leaf 0.4).
+
+    Returns (deltas (8, O) uint32, valid (8, O) bool), octant id =
+    (x_hi << 2) | (y_hi << 1) | z_hi of the within-cell halves.
+    """
+    r = int(math.ceil(radius / leaf)) + 1
+    per_oct: List[np.ndarray] = []
+    for oct_id in range(8):
+        half = np.array([(oct_id >> 2) & 1, (oct_id >> 1) & 1, oct_id & 1],
+                        np.float64) * 0.5 * leaf
+        lo, hi = half, half + 0.5 * leaf
+        offs = []
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                for dz in range(-r, r + 1):
+                    d2 = 0.0
+                    for i, d in enumerate((dx, dy, dz)):
+                        gap = max(d * leaf - hi[i], lo[i] - (d + 1) * leaf,
+                                  0.0)
+                        d2 += gap * gap
+                    if d2 <= radius * radius + 1e-9:
+                        offs.append((dx, dy, dz))
+        per_oct.append(dedup_offsets(np.asarray(offs, np.int32),
+                                     num_buckets))
+    O = max(len(o) for o in per_oct)
+    deltas = np.zeros((8, O), np.uint32)
+    valid = np.zeros((8, O), bool)
+    for i, offs in enumerate(per_oct):
+        d = offset_key_deltas(offs)
+        deltas[i, :len(d)] = d
+        valid[i, :len(d)] = True
+    return deltas, valid
+
+
 def dedup_offsets(offsets: np.ndarray, num_buckets: int) -> np.ndarray:
     """Drop offsets that always alias another offset's bucket: the bucket
     of (base + o) is bucket(base_key + delta(o)), so two offsets whose
@@ -326,20 +366,37 @@ def dedup_offsets(offsets: np.ndarray, num_buckets: int) -> np.ndarray:
 
 
 def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
-                     offsets: jnp.ndarray, deltas: jnp.ndarray):
+                     deltas: jnp.ndarray, valid: jnp.ndarray = None):
     """Gather all candidate centroids around each query: ONE row gather.
 
+    ``deltas`` is either a flat (O,) linear-key delta table (whole-cell
+    neighborhood) or a per-octant (8, O) table from octant_offset_tables —
+    in the latter case each query uses the offset set for its within-cell
+    octant, pruning ~30% of gathered rows. ``valid`` masks the padded
+    per-octant entries.
+
     Returns ((cx, cy, cz), d2), each (Q, O*W) — structure-of-arrays so
-    every downstream op has a wide minor dimension. Empty ways sit at _FAR
-    and produce huge finite distances. ``offsets`` should be pre-deduped
-    with dedup_offsets for the target table so no stored way appears twice.
+    every downstream op has a wide minor dimension. Empty ways and padded
+    offsets sit at huge finite distances. Offset tables should be
+    bucket-deduped (dedup_offsets) so no stored way appears twice.
     """
     Q = queries.shape[0]
-    O = offsets.shape[0]
     H = packed_view.shape[0]
+    dtype = queries.dtype
     base = jnp.floor(queries / leaf).astype(jnp.int32)
     base_key = linear_key(base)
-    lkeys = base_key[:, None] + deltas[None, :]
+    if deltas.ndim == 2:  # per-octant tables
+        frac = queries / leaf - base.astype(dtype)
+        oct_id = ((frac[:, 0] >= 0.5).astype(jnp.int32) * 4
+                  + (frac[:, 1] >= 0.5).astype(jnp.int32) * 2
+                  + (frac[:, 2] >= 0.5).astype(jnp.int32))
+        q_deltas = table_gather(deltas, oct_id)  # (Q, O)
+        q_valid = table_gather(valid, oct_id) if valid is not None else None
+    else:
+        q_deltas = deltas[None, :]
+        q_valid = None
+    O = q_deltas.shape[-1]
+    lkeys = base_key[:, None] + q_deltas
     bkt = _bucket_of(lkeys, H)
     rows = table_gather(packed_view, bkt)  # (Q, O, 16) channel-blocked
     W = NUM_WAYS
@@ -350,6 +407,9 @@ def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
     dy = cy - queries[:, 1:2]
     dz = cz - queries[:, 2:3]
     d2 = dx * dx + dy * dy + dz * dz
+    if q_valid is not None:
+        pad = ~jnp.repeat(q_valid, W, axis=-1)
+        d2 = jnp.where(pad, jnp.asarray(_FAR * _FAR, dtype), d2)
     return (cx, cy, cz), d2
 
 

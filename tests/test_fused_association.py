@@ -27,7 +27,6 @@ def fused_and_explicit(rng, leaf, assoc_kind):
                                        leaf=vm.leaf)
     # fused path
     cand_soa, d2 = voxelmap.query_candidates(view, vm.leaf, queries,
-                                             jnp.asarray(offs_d),
                                              jnp.asarray(deltas))
     kth, win = voxelmap.select_k_mask(d2, 5)
 
