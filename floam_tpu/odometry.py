@@ -119,7 +119,8 @@ init_map = functools.partial(jax.jit, static_argnames=("cfg",),
 
 def _associate_and_solve(pose: Pose, map_state: MapState,
                          edge_xyz, edge_mask, surf_xyz, surf_mask,
-                         oc: OdomConfig) -> Tuple[Pose, gn.GNStats]:
+                         oc: OdomConfig, shard_axis=None,
+                         shard_n: int = 1) -> Tuple[Pose, gn.GNStats]:
     """One outer round: re-associate at the current pose, then run the fixed
     inner GN iterations (one Ceres Solve in the reference, :92-108).
 
@@ -133,9 +134,25 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
     s_deltas, s_valid = _search_offsets(_surf_leaf(oc), radius,
                                         oc.map_surf_table)
 
+    edge_view = map_state.edge_view
+    surf_view = map_state.surf_view
+    if shard_axis is not None:
+        # map tables are bucket-range-sharded: gather the dense packed
+        # views over ICI so the k-NN row gathers stay device-local, and
+        # split the query set so factor work is sharded too
+        edge_view = jax.lax.all_gather(edge_view, shard_axis, tiled=True)
+        surf_view = jax.lax.all_gather(surf_view, shard_axis, tiled=True)
+        rank = jax.lax.axis_index(shard_axis)
+        qe = edge_xyz.shape[0] // shard_n
+        qs = surf_xyz.shape[0] // shard_n
+        edge_xyz = jax.lax.dynamic_slice_in_dim(edge_xyz, rank * qe, qe)
+        edge_mask = jax.lax.dynamic_slice_in_dim(edge_mask, rank * qe, qe)
+        surf_xyz = jax.lax.dynamic_slice_in_dim(surf_xyz, rank * qs, qs)
+        surf_mask = jax.lax.dynamic_slice_in_dim(surf_mask, rank * qs, qs)
+
     pw_edge = se3.quat_rotate(pose.q[None, :], edge_xyz) + pose.t
     cand_e, d2_e = voxelmap.query_candidates(
-        map_state.edge_view, map_state.edge.leaf, pw_edge,
+        edge_view, map_state.edge.leaf, pw_edge,
         jnp.asarray(e_deltas), jnp.asarray(e_valid))
     kth_e, win_e = voxelmap.select_k_mask(d2_e, k)
     ef = residuals.edge_association_fused(
@@ -145,7 +162,7 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
 
     pw_surf = se3.quat_rotate(pose.q[None, :], surf_xyz) + pose.t
     cand_s, d2_s = voxelmap.query_candidates(
-        map_state.surf_view, map_state.surf.leaf, pw_surf,
+        surf_view, map_state.surf.leaf, pw_surf,
         jnp.asarray(s_deltas), jnp.asarray(s_valid))
     kth_s, win_s = voxelmap.select_k_mask(d2_s, k)
     sf = residuals.surf_association_fused(
@@ -153,7 +170,7 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
         oc.plane_fit_tol)
     sf = sf._replace(valid=sf.valid & surf_mask)
 
-    return gn.solve_pose(pose, ef, sf, oc)
+    return gn.solve_pose(pose, ef, sf, oc, shard_axis=shard_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +179,7 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
 
 def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
                    cfg: FloamConfig, update_map: bool = True,
-                   predict: bool = True
+                   predict: bool = True, shard_axis=None, shard_n: int = 1
                    ) -> Tuple[OdomState, OdomDiagnostics]:
     """One scan-to-map update (updatePointsToMap VANILLA path,
     src/odomEstimationClass.cpp:57-124).
@@ -206,6 +223,9 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
     # --- map-size guard (:77,111-113) ---
     map_edge_n = state.map.edge.num_occupied()
     map_surf_n = state.map.surf.num_occupied()
+    if shard_axis is not None:
+        map_edge_n = jax.lax.psum(map_edge_n, shard_axis)
+        map_surf_n = jax.lax.psum(map_surf_n, shard_axis)
     guard = (map_edge_n > oc.min_map_edge) & (map_surf_n > oc.min_map_surf)
 
     # --- outer association rounds (:81), with optional convergence
@@ -222,7 +242,8 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
         def body(carry):
             i, pose, _, _ = carry
             pose2, stats = _associate_and_solve(pose, state.map, e_xyz,
-                                                e_mask, s_xyz, s_mask, oc)
+                                                e_mask, s_xyz, s_mask, oc,
+                                                shard_axis, shard_n)
             dt_norm = jnp.linalg.norm(pose2.t - pose.t)
             dq = se3.quat_mul(se3.quat_conj(pose.q), pose2.q)
             converged = (dt_norm < oc.converge_transl) & \
@@ -236,7 +257,8 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
         def outer_body(_, carry):
             pose, _ = carry
             return _associate_and_solve(pose, state.map, e_xyz, e_mask,
-                                        s_xyz, s_mask, oc)
+                                        s_xyz, s_mask, oc, shard_axis,
+                                        shard_n)
 
         opt_pose, stats = jax.lax.fori_loop(0, opt_count, outer_body,
                                             (pred, stats0))
@@ -258,8 +280,21 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
         def do_update(ms: MapState) -> MapState:
             e_world = se3.quat_rotate(new_pose.q[None, :], e_xyz) + new_pose.t
             s_world = se3.quat_rotate(new_pose.q[None, :], s_xyz) + new_pose.t
-            em = voxelmap.insert(ms.edge, e_world, e_mask, oc.voxel_count_cap)
-            sm = voxelmap.insert(ms.surf, s_world, s_mask, oc.voxel_count_cap)
+            if shard_axis is not None:
+                rank = jax.lax.axis_index(shard_axis)
+                e_base = rank * (oc.map_edge_table // shard_n)
+                s_base = rank * (oc.map_surf_table // shard_n)
+                em = voxelmap.insert(ms.edge, e_world, e_mask,
+                                     oc.voxel_count_cap, bucket_base=e_base,
+                                     global_buckets=oc.map_edge_table)
+                sm = voxelmap.insert(ms.surf, s_world, s_mask,
+                                     oc.voxel_count_cap, bucket_base=s_base,
+                                     global_buckets=oc.map_surf_table)
+            else:
+                em = voxelmap.insert(ms.edge, e_world, e_mask,
+                                     oc.voxel_count_cap)
+                sm = voxelmap.insert(ms.surf, s_world, s_mask,
+                                     oc.voxel_count_cap)
             em = voxelmap.crop(em, new_pose.t, oc.crop_radius)
             sm = voxelmap.crop(sm, new_pose.t, oc.crop_radius)
             return MapState(edge=em, surf=sm,

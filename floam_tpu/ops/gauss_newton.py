@@ -38,8 +38,11 @@ def _accumulate(r, J, w):
 
 
 def gn_step(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
-            cfg: OdomConfig) -> Tuple[Pose, jnp.ndarray]:
-    """One Gauss-Newton iteration on fixed associations."""
+            cfg: OdomConfig, shard_axis=None) -> Tuple[Pose, jnp.ndarray]:
+    """One Gauss-Newton iteration on fixed associations. With
+    ``shard_axis`` the factors are a device-local shard: the 6x6 normal
+    equations are psum-reduced over that mesh axis before the (replicated)
+    solve — the distributed analogue of Ceres's single-process solve."""
     dtype = pose.t.dtype
     re, Je = R.edge_residual_jacobian(pose.q, pose.t, edge)
     rs, Js = R.surf_residual_jacobian(pose.q, pose.t, surf)
@@ -54,6 +57,10 @@ def gn_step(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
     b = be + bs
 
     n_valid = jnp.sum(edge.valid) + jnp.sum(surf.valid)
+    if shard_axis is not None:
+        H = jax.lax.psum(H, shard_axis)
+        b = jax.lax.psum(b, shard_axis)
+        n_valid = jax.lax.psum(n_valid, shard_axis)
     damping = jnp.asarray(cfg.damping, dtype)
     H = H + damping * jnp.eye(6, dtype=dtype)
     delta = -jnp.linalg.solve(H, b)
@@ -65,7 +72,8 @@ def gn_step(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
 
 
 def solve_pose(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
-               cfg: OdomConfig, iters: int | None = None) -> Tuple[Pose, GNStats]:
+               cfg: OdomConfig, iters: int | None = None,
+               shard_axis=None) -> Tuple[Pose, GNStats]:
     """Run ``inner_iters`` GN iterations on fixed associations (the analogue
     of one Ceres Solve with max_num_iterations=4,
     src/odomEstimationClass.cpp:100-108)."""
@@ -73,13 +81,14 @@ def solve_pose(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
 
     def body(_, carry):
         p, _ = carry
-        return gn_step(p, edge, surf, cfg)
+        return gn_step(p, edge, surf, cfg, shard_axis=shard_axis)
 
     cost0 = jnp.asarray(0.0, pose.t.dtype)
     pose, cost = jax.lax.fori_loop(0, iters, body, (pose, cost0))
-    stats = GNStats(
-        num_edge=jnp.sum(edge.valid, dtype=jnp.int32),
-        num_surf=jnp.sum(surf.valid, dtype=jnp.int32),
-        cost=cost,
-    )
+    num_edge = jnp.sum(edge.valid, dtype=jnp.int32)
+    num_surf = jnp.sum(surf.valid, dtype=jnp.int32)
+    if shard_axis is not None:
+        num_edge = jax.lax.psum(num_edge, shard_axis)
+        num_surf = jax.lax.psum(num_surf, shard_axis)
+    stats = GNStats(num_edge=num_edge, num_surf=num_surf, cost=cost)
     return pose, stats

@@ -134,8 +134,15 @@ def _resolve_ways(table_keys: jnp.ndarray, bucket: jnp.ndarray,
 
 
 def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
-           count_cap: float = 25.0) -> VoxelHashMap:
-    """Scatter points into their voxels (running mean, weight-capped)."""
+           count_cap: float = 25.0, bucket_base=None,
+           global_buckets: int = 0) -> VoxelHashMap:
+    """Scatter points into their voxels (running mean, weight-capped).
+
+    When ``vm`` is a device-local shard of a bucket-range-sharded table,
+    pass ``global_buckets`` (full table size, static) and ``bucket_base``
+    (this device's first global bucket, traced): points hashing outside the
+    local range are dropped here and inserted by their owning device.
+    """
     H = vm.num_buckets
     cells = jnp.floor(xyz / vm.leaf).astype(jnp.int32)
     # the full 32-bit linear key doubles as the ownership key: the
@@ -144,7 +151,13 @@ def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
     # key is injective and dedup is exact — and it avoids the murmur mix,
     # whose emulated uint32 multiplies dominate at full-cloud scale
     mkey = linear_key(cells)
-    bucket = _bucket_of(mkey, H)
+    if global_buckets:
+        gbucket = _bucket_of(mkey, global_buckets)
+        bucket = gbucket - bucket_base
+        mask = mask & (gbucket >= bucket_base) & (bucket < H)
+        bucket = jnp.clip(bucket, 0, H - 1)  # keep masked gathers in range
+    else:
+        bucket = _bucket_of(mkey, H)
     slot, keys = _resolve_ways(vm.keys, bucket, mkey, mask, H)
     w = (slot < H * NUM_WAYS).astype(vm.sx.dtype)
     sx = table_scatter_add(vm.sx, slot, xyz[:, 0].astype(vm.sx.dtype) * w)

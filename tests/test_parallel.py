@@ -176,3 +176,44 @@ def test_sharded_ba_matches_single_device(rng):
                           axis=-1, keepdims=True))
     np.testing.assert_allclose(np.asarray(q_sh) * sign,
                                np.asarray(out_single.quats), atol=1e-8)
+
+
+def test_map_sharded_step_matches_single(rng):
+    """Bucket-range map sharding: the 8-device map-sharded step must match
+    the single-device step (views all-gathered over the mesh, factor
+    chunks psum-reduced)."""
+    import dataclasses
+
+    from floam_tpu.parallel.sharded_map import (make_map_sharded_step,
+                                                shard_state)
+
+    cfg = small_config()
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("mp",))
+
+    edge = _make_batch_inputs(rng, 1, n=512, dtype=jnp.float64)
+    surf = _make_batch_inputs(rng, 1, n=2048, dtype=jnp.float64)
+    edge = jax.tree_util.tree_map(lambda x: x[0], edge)
+    surf = jax.tree_util.tree_map(lambda x: x[0], surf)
+
+    s0 = odometry.init_state(cfg, dtype=jnp.float64)
+    s0 = odometry.init_map_impl(s0, edge, surf, cfg)
+    ref_state, ref_diag = odometry.odom_step_impl(s0, edge, surf, cfg)
+
+    # sharded: seed via the sharded insert path so tables agree
+    s1 = odometry.init_state(cfg, dtype=jnp.float64)
+    s1 = odometry.init_map_impl(s1, edge, surf, cfg)
+    s1 = shard_state(s1, mesh)
+    step = make_map_sharded_step(mesh, cfg)
+    out_state, diag = step(s1, edge, surf)
+
+    np.testing.assert_allclose(np.asarray(out_state.pose.t),
+                               np.asarray(ref_state.pose.t), atol=1e-9)
+    sign = np.sign(np.dot(np.asarray(out_state.pose.q),
+                          np.asarray(ref_state.pose.q)))
+    np.testing.assert_allclose(np.asarray(out_state.pose.q) * sign,
+                               np.asarray(ref_state.pose.q), atol=1e-9)
+    assert int(diag.num_surf_factors) == int(ref_diag.num_surf_factors)
+    # the sharded map contents agree with the single-device map
+    occ_ref = int(ref_state.map.surf.num_occupied())
+    occ_sh = int(np.asarray(out_state.map.surf.counts > 0).sum())
+    assert occ_sh == occ_ref
