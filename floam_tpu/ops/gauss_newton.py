@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..config import OdomConfig
 from ..types import Pose
 from . import residuals as R
+from .linalg import solve_spd
 from .se3 import pose_retract_right
 
 
@@ -63,7 +64,9 @@ def gn_step(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
         n_valid = jax.lax.psum(n_valid, shard_axis)
     damping = jnp.asarray(cfg.damping, dtype)
     H = H + damping * jnp.eye(6, dtype=dtype)
-    delta = -jnp.linalg.solve(H, b)
+    # unrolled Cholesky: fuses into the program and works in f64 on TPU
+    # (XLA's LuDecomposition custom call is f32-only there)
+    delta = -solve_spd(H, b)
     # freeze the pose when the problem is empty/degenerate
     ok = (n_valid >= 6) & jnp.all(jnp.isfinite(delta))
     delta = jnp.where(ok, delta, jnp.zeros_like(delta))

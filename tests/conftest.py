@@ -13,6 +13,19 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter startup and forces
+# jax_platforms="axon,cpu" (overriding the env var above), so the backend
+# must be re-pinned to CPU after import and any initialized backends
+# dropped.
+if "cpu" != jax.config.jax_platforms:
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+    except Exception:
+        pass
+
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
