@@ -129,15 +129,23 @@ class OdomConfig:
     #: slowly a voxel centroid adapts; the reference re-averages the whole
     #: map every keyframe instead)
     voxel_count_cap: float = 25.0
+    #: way-probe rounds per map insert: round 1 claims the voxel's natural
+    #: sub-voxel slot; extra rounds only resolve bucket-aliased cells
+    #: whose slot is taken (rare at the configured load factors). Each
+    #: round costs 3 sparse kernels per map side
+    map_insert_probe_rounds: int = 2
     # --- static capacities (TPU padding). *_table values are hash-table
-    #     bucket counts (power of 2, x4 ways each; keep expected voxel
-    #     occupancy under ~1 cell/bucket so bucket overflow is negligible)
+    #     SUPERCELL bucket counts (power of 2, x8 sub-voxel ways each; keep
+    #     expected supercell occupancy well under 1/bucket so bucket
+    #     overflow drops stay negligible). The packed query view is
+    #     (buckets, 32) f32 — keep map tables <= 32768 buckets (4 MB view)
+    #     to stay in the fast gather tier (docs/PERFORMANCE.md)
     scan_edge_capacity: int = 4096  # downsampled edge features per scan
     scan_surf_capacity: int = 16384  # downsampled surf features per scan
     scan_edge_table: int = 8192
     scan_surf_table: int = 16384
-    map_edge_table: int = 32768
-    map_surf_table: int = 131072
+    map_edge_table: int = 16384
+    map_surf_table: int = 32768
     #: two-phase deskew registration (UpdatePointsToMapSelector, :34-50)
     deskew: bool = False
     #: match the reference's literal behavior of registering the edge cloud

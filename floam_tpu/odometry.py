@@ -55,15 +55,11 @@ def _surf_leaf(oc: OdomConfig) -> float:
 
 
 @functools.lru_cache(maxsize=None)
-def _edge_offsets(leaf: float, radius: float):
-    return voxelmap.neighbor_offsets(leaf, radius)
-
-
-@functools.lru_cache(maxsize=None)
 def _search_offsets(leaf: float, radius: float, num_buckets: int):
-    """Per-octant pruned + bucket-deduped linear-key delta tables for a
-    given map table (static per config)."""
-    return voxelmap.octant_offset_tables(leaf, radius, num_buckets)
+    """Per-octant pruned + bucket-deduped linear-key delta tables over the
+    map table's SUPERCELL grid (static per config)."""
+    return voxelmap.octant_offset_tables(voxelmap.SUPER * leaf, radius,
+                                         num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -286,15 +282,19 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
                 s_base = rank * (oc.map_surf_table // shard_n)
                 em = voxelmap.insert(ms.edge, e_world, e_mask,
                                      oc.voxel_count_cap, bucket_base=e_base,
-                                     global_buckets=oc.map_edge_table)
+                                     global_buckets=oc.map_edge_table,
+                                     probe_rounds=oc.map_insert_probe_rounds)
                 sm = voxelmap.insert(ms.surf, s_world, s_mask,
                                      oc.voxel_count_cap, bucket_base=s_base,
-                                     global_buckets=oc.map_surf_table)
+                                     global_buckets=oc.map_surf_table,
+                                     probe_rounds=oc.map_insert_probe_rounds)
             else:
                 em = voxelmap.insert(ms.edge, e_world, e_mask,
-                                     oc.voxel_count_cap)
+                                     oc.voxel_count_cap,
+                                     probe_rounds=oc.map_insert_probe_rounds)
                 sm = voxelmap.insert(ms.surf, s_world, s_mask,
-                                     oc.voxel_count_cap)
+                                     oc.voxel_count_cap,
+                                     probe_rounds=oc.map_insert_probe_rounds)
             em = voxelmap.crop(em, new_pose.t, oc.crop_radius)
             sm = voxelmap.crop(sm, new_pose.t, oc.crop_radius)
             return MapState(edge=em, surf=sm,

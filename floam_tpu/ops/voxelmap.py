@@ -6,23 +6,36 @@ One bucketed hash table replaces three reference structures at once:
   * the per-keyframe VoxelGrid re-downsampling of the whole map (:289-292),
   * the per-scan KdTreeFLANN rebuilds + 5-NN queries (:78-79,153,206).
 
-Layout and algorithms are driven by measured v5e cost model (see
-docs/PERFORMANCE.md): XLA TPU gathers/scatters are fast for 1-D planes and
-2-D-indexed row gathers, but ~100x slower when the index array has a third
-dimension or the destination has a small trailing dim. Hence:
+Layout and algorithms are driven by the measured v5e cost model (see
+docs/PERFORMANCE.md). The honest law for the k-NN hot loop's row gather —
+with RUNTIME indices; constant-index microbenchmarks are ~100x flattered by
+compile-time specialization — is ~0.9 ms fixed + ~2.5-6 ns per gathered row
+while the table stays within the fast tier (<= ~4 MB), with cliffs above.
+Row COUNT is therefore the variable that matters, which drives the central
+layout decision:
 
-  * the authoritative table is H buckets x W=4 ways stored as FLAT 1-D
+  * buckets are SUPERCELLS — 2x2x2 blocks of voxels — with 8 way slots per
+    bucket, one per sub-voxel position. A radius-1 m search from a query
+    needs candidate cells intersecting the ball; counted in supercells that
+    is 3.6x (edge, 0.4 m leaf) / 2.7x (surf, 0.8 m leaf) fewer gathered
+    rows than per-voxel buckets, at 2x the row width (cheap: rows are
+    latency-priced, not byte-priced).
+  * the authoritative table is H buckets x 8 ways stored as FLAT 1-D
     PLANES (sx, sy, sz, count, key) — every insert/evict touches only
     1-D scatters;
-  * a derived PACKED QUERY VIEW (H, 16) f32 — 4 ways x (cx, cy, cz, pad),
-    centroids pre-divided, empty ways pushed to +inf-like coords — is
-    rebuilt densely after map changes so the k-NN hot loop is ONE 2-D row
-    gather + pure elementwise math;
-  * bucket selection uses a LINEAR hash (k = ux*A + uy*B + uz*C mod 2^32):
-    per query only the base cell is hashed and each neighbor offset adds a
-    precomputed delta — no integer-multiply tensors at (Q, O, 3) scale.
-    Way ownership during insert still uses the murmur-mixed key
-    (ops.voxel.cell_key) for exact voxel dedup;
+  * a derived PACKED QUERY VIEW (H, 32) f32 — 8 ways x (cx, cy, cz) channel
+    blocks + 8 pad lanes, centroids pre-divided, empty ways pushed to
+    far-away coords — is rebuilt densely after map changes so the k-NN hot
+    loop is ONE 2-D row gather + pure elementwise math;
+  * bucket selection uses a LINEAR hash (k = ux*A + uy*B + uz*C mod 2^32)
+    of the SUPERCELL index: per query only the base supercell is hashed
+    and each neighbor offset adds a precomputed delta — no integer-multiply
+    tensors at (Q, O) scale. Way ownership uses the linear key of the
+    VOXEL cell, validated alias-free over the live map range;
+  * inserts need no way-claim scan in the common case: a voxel's natural
+    slot is its sub-voxel id within the supercell. Only bucket-aliased
+    cells landing on the same (bucket, subid) probe the next ways
+    (``probe_rounds`` rounds of gather/scatter-claim);
   * queries do NOT verify keys: a bucket-aliased way holds a *real* map
     centroid from a far-away cell, which simply loses the top-k by
     distance — so the search stays exact over stored cells within the
@@ -33,12 +46,11 @@ dimension or the destination has a small trailing dim. Hence:
     2^-13 relative distance perturbation is far below the association
     gates).
 
-Insert: W scatter-claim rounds — each pending point tries way w of its
-cell's bucket, claims it if empty (scatter-set, last-writer-wins breaks
-same-batch races cleanly), verifies by gather-back, else advances to the
-next way. Running mean per voxel, weight-capped (the reference instead
-re-averages the full map every keyframe). Bucket overflow (> W cells per
-bucket) is the only loss mode — negligible at <= 25% bucket load.
+Insert: running mean per voxel, weight-capped (the reference instead
+re-averages the full map every keyframe). Bucket overflow (more aliased
+cells on a bucket than free ways) is the only loss mode — points in
+already-stored voxels always accumulate; only NEW voxels can be dropped,
+and only while their bucket is saturated.
 """
 from __future__ import annotations
 
@@ -54,7 +66,8 @@ from .sparse import table_gather, table_scatter_add, table_scatter_set
 from .voxel import cell_key
 
 EMPTY_KEY = jnp.uint32(0xFFFFFFFF)  # cell_key never produces this
-NUM_WAYS = 4
+NUM_WAYS = 8  # sub-voxel slots per supercell bucket
+SUPER = 2  # voxels per supercell edge
 #: odd multipliers for the linear bucket hash
 _LA = np.uint32(0x9E3779B1)
 _LB = np.uint32(0x85EBCA77)
@@ -64,13 +77,13 @@ _FAR = 1e9
 
 
 class VoxelHashMap(NamedTuple):
-    """Bucketed voxel table as flat planes of length H*W."""
+    """Supercell-bucketed voxel table as flat planes of length H*8."""
 
     sx: jnp.ndarray
     sy: jnp.ndarray
     sz: jnp.ndarray
     counts: jnp.ndarray
-    keys: jnp.ndarray  # uint32 murmur cell key (way ownership)
+    keys: jnp.ndarray  # uint32 linear cell key (way ownership)
     leaf: jnp.ndarray  # () voxel edge length
 
     @property
@@ -102,7 +115,7 @@ def empty(num_buckets: int, leaf: float, dtype=jnp.float32) -> VoxelHashMap:
 
 
 def linear_key(ixyz: jnp.ndarray) -> jnp.ndarray:
-    """Linear bucket hash of integer cells (..., 3): wraps mod 2^32 and is
+    """Linear hash of integer cells (..., 3): wraps mod 2^32 and is
     additive in the cell coordinates (enables per-offset deltas)."""
     u = ixyz.astype(jnp.uint32)
     return (u[..., 0] * _LA + u[..., 1] * _LB + u[..., 2] * _LC)
@@ -112,16 +125,25 @@ def _bucket_of(lkeys: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
     return (lkeys & jnp.uint32(num_buckets - 1)).astype(jnp.int32)
 
 
-def _resolve_ways(table_keys: jnp.ndarray, bucket: jnp.ndarray,
-                  pkeys: jnp.ndarray, mask: jnp.ndarray, num_buckets: int
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Assign each point a way slot in its bucket, claiming empty ways.
-    Returns (slot per point; HW = dropped, updated table_keys)."""
+def _subid(cells: jnp.ndarray) -> jnp.ndarray:
+    """Sub-voxel slot within the 2x2x2 supercell: (x&1)<<2|(y&1)<<1|(z&1)."""
+    b = cells & 1
+    return (b[..., 0] * 4 + b[..., 1] * 2 + b[..., 2]).astype(jnp.int32)
+
+
+def _resolve_slots(table_keys: jnp.ndarray, bucket: jnp.ndarray,
+                   subid: jnp.ndarray, pkeys: jnp.ndarray,
+                   mask: jnp.ndarray, num_buckets: int, probe_rounds: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Assign each point its slot: the sub-voxel way when free/owned, else
+    probe subsequent ways (bucket-alias overflow). Returns
+    (slot per point; HW = dropped, updated table_keys)."""
     HW = num_buckets * NUM_WAYS
     slot_out = jnp.full(pkeys.shape, HW, jnp.int32)
     pending = mask
-    for w in range(NUM_WAYS):
-        slot = bucket * NUM_WAYS + w
+    for r in range(probe_rounds):
+        way = (subid + r) % NUM_WAYS
+        slot = bucket * NUM_WAYS + way
         cur = table_gather(table_keys, slot)
         claimable = pending & (cur == EMPTY_KEY)
         table_keys = table_scatter_set(
@@ -135,7 +157,7 @@ def _resolve_ways(table_keys: jnp.ndarray, bucket: jnp.ndarray,
 
 def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
            count_cap: float = 25.0, bucket_base=None,
-           global_buckets: int = 0) -> VoxelHashMap:
+           global_buckets: int = 0, probe_rounds: int = 4) -> VoxelHashMap:
     """Scatter points into their voxels (running mean, weight-capped).
 
     When ``vm`` is a device-local shard of a bucket-range-sharded table,
@@ -147,18 +169,22 @@ def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
     cells = jnp.floor(xyz / vm.leaf).astype(jnp.int32)
     # the full 32-bit linear key doubles as the ownership key: the
     # multipliers are validated (tests/test_voxelmap.py) to have no alias
-    # vector within +-600 cells, so within any crop-bounded local map the
+    # vector within +-1000 cells, so within any crop-bounded local map the
     # key is injective and dedup is exact — and it avoids the murmur mix,
     # whose emulated uint32 multiplies dominate at full-cloud scale
     mkey = linear_key(cells)
+    parent = cells >> 1  # arithmetic shift == floor division
+    pkey = linear_key(parent)
+    sub = _subid(cells)
     if global_buckets:
-        gbucket = _bucket_of(mkey, global_buckets)
+        gbucket = _bucket_of(pkey, global_buckets)
         bucket = gbucket - bucket_base
         mask = mask & (gbucket >= bucket_base) & (bucket < H)
         bucket = jnp.clip(bucket, 0, H - 1)  # keep masked gathers in range
     else:
-        bucket = _bucket_of(mkey, H)
-    slot, keys = _resolve_ways(vm.keys, bucket, mkey, mask, H)
+        bucket = _bucket_of(pkey, H)
+    slot, keys = _resolve_slots(vm.keys, bucket, sub, mkey, mask, H,
+                                probe_rounds)
     w = (slot < H * NUM_WAYS).astype(vm.sx.dtype)
     sx = table_scatter_add(vm.sx, slot, xyz[:, 0].astype(vm.sx.dtype) * w)
     sy = table_scatter_add(vm.sy, slot, xyz[:, 1].astype(vm.sx.dtype) * w)
@@ -190,13 +216,14 @@ def crop(vm: VoxelHashMap, center: jnp.ndarray, radius) -> VoxelHashMap:
 # Packed query view + k-NN
 # ---------------------------------------------------------------------------
 
-PACK_WIDTH = 4  # channel blocks per way-group in the packed view
+#: packed-view row: 8 ways x (x | y | z) channel blocks + 8 pad lanes
+VIEW_WIDTH = 4 * NUM_WAYS
 
 
 def pack_query_view(vm: VoxelHashMap) -> jnp.ndarray:
-    """Dense (H, 16) row table of pre-divided centroids, CHANNEL-BLOCKED:
-    columns [x ways 0..3 | y ways 0..3 | z ways 0..3 | pad]. Empty ways sit
-    at _FAR so they lose every distance comparison.
+    """Dense (H, 32) row table of pre-divided centroids, CHANNEL-BLOCKED:
+    columns [x ways 0..7 | y ways 0..7 | z ways 0..7 | pad 8]. Empty ways
+    sit at _FAR so they lose every distance comparison.
 
     The channel-block layout lets the query slice each coordinate into a
     (Q, O*W) plane whose minor dimension is hundreds wide — TPU vector
@@ -211,19 +238,20 @@ def pack_query_view(vm: VoxelHashMap) -> jnp.ndarray:
     cy = jnp.where(occ, vm.sy / d, far).reshape(H, NUM_WAYS)
     cz = jnp.where(occ, vm.sz / d, far).reshape(H, NUM_WAYS)
     pad = jnp.zeros_like(cx)
-    return jnp.concatenate([cx, cy, cz, pad], axis=1)  # (H, 16)
+    return jnp.concatenate([cx, cy, cz, pad], axis=1)  # (H, 32)
 
 
-def neighbor_offsets(leaf: float, radius: float) -> np.ndarray:
+def neighbor_offsets(cell: float, radius: float) -> np.ndarray:
     """Integer cell offsets whose cells can intersect a ``radius`` ball
     around any query point in the base cell: pruned by the minimum distance
-    between the base cell and the offset cell."""
-    r = int(math.ceil(radius / leaf)) + 1
+    between the base cell and the offset cell. ``cell`` is the edge length
+    of the search grid's cells (the SUPERCELL size on the hot path)."""
+    r = int(math.ceil(radius / cell)) + 1
     offs: List[Tuple[int, int, int]] = []
     for dx in range(-r, r + 1):
         for dy in range(-r, r + 1):
             for dz in range(-r, r + 1):
-                d = sum((max(abs(o) - 1, 0) * leaf) ** 2
+                d = sum((max(abs(o) - 1, 0) * cell) ** 2
                         for o in (dx, dy, dz))
                 if d <= radius * radius + 1e-9:
                     offs.append((dx, dy, dz))
@@ -268,14 +296,13 @@ def _packed_min_k(d2: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _query_impl(packed_view, leaf, queries, qmask, offsets, deltas, k: int):
+def _query_impl(packed_view, leaf, queries, qmask, deltas, valid, k: int):
     """Explicit k-NN (test/utility path; the odometry hot loop uses
     query_candidates + select_k_mask + fused association instead)."""
-    Q = queries.shape[0]
-    O = offsets.shape[0]
     H = packed_view.shape[0]
     dtype = queries.dtype
-    (cx, cy, cz), d2 = query_candidates(packed_view, leaf, queries, deltas)
+    (cx, cy, cz), d2 = query_candidates(packed_view, leaf, queries, deltas,
+                                        valid)
     sel_d2, nn_idx = _packed_min_k(d2.astype(jnp.float32), k)
     nx = jnp.take_along_axis(cx, nn_idx, axis=1)
     ny = jnp.take_along_axis(cy, nn_idx, axis=1)
@@ -289,8 +316,14 @@ def _query_impl(packed_view, leaf, queries, qmask, offsets, deltas, k: int):
     # bucket aliasing can surface the same stored way through two different
     # neighbor offsets; invalidate repeat winners so they fail the radius
     # gate instead of polluting line/plane fits with duplicate points
-    base_key = linear_key(jnp.floor(queries / leaf).astype(jnp.int32))
-    bkt = _bucket_of(base_key[:, None] + deltas[None, :], H)
+    cellq = jnp.floor(queries / leaf).astype(jnp.int32)
+    base_key = linear_key(cellq >> 1)
+    if deltas.ndim == 2:
+        q_deltas = table_gather(deltas, _subid(cellq))
+    else:
+        q_deltas = jnp.broadcast_to(deltas[None, :],
+                                    (queries.shape[0], deltas.shape[0]))
+    bkt = _bucket_of(base_key[:, None] + q_deltas, H)
     way = nn_idx % NUM_WAYS
     o_idx = nn_idx // NUM_WAYS
     slot = jnp.take_along_axis(bkt, o_idx, axis=1) * NUM_WAYS + way  # (Q, k)
@@ -305,8 +338,9 @@ def _query_impl(packed_view, leaf, queries, qmask, offsets, deltas, k: int):
 
 
 def query_knn(vm_or_view, queries: jnp.ndarray, qmask: jnp.ndarray,
-              offsets: np.ndarray, k: int = 5, leaf=None):
-    """k nearest voxel centroids within the pruned neighborhood.
+              k: int = 5, leaf=None, radius: float = 1.0):
+    """k nearest voxel centroids within the pruned supercell neighborhood
+    (exact within ``radius`` of each query).
 
     Accepts either a VoxelHashMap (packs on the fly — fine for tests) or a
     pre-packed (view, leaf) pair from pack_query_view (the hot path).
@@ -318,40 +352,44 @@ def query_knn(vm_or_view, queries: jnp.ndarray, qmask: jnp.ndarray,
     else:
         view = vm_or_view
         assert leaf is not None
-    offs = jnp.asarray(offsets)
-    deltas = jnp.asarray(offset_key_deltas(offsets))
-    return _query_impl(view, leaf, queries, qmask, offs, deltas, k)
+    H = view.shape[0]
+    deltas, valid = octant_offset_tables(
+        SUPER * float(np.asarray(leaf)), radius, H)
+    return _query_impl(view, leaf, queries, qmask, jnp.asarray(deltas),
+                       jnp.asarray(valid), k)
 
 
 # ---------------------------------------------------------------------------
 # Compaction + sort-free downsample
 # ---------------------------------------------------------------------------
 
-def octant_offset_tables(leaf: float, radius: float, num_buckets: int):
-    """Per-octant pruned + bucket-deduped neighbor tables.
+def octant_offset_tables(cell: float, radius: float, num_buckets: int):
+    """Per-octant pruned + bucket-deduped neighbor tables over a grid of
+    ``cell``-sized cells (pass the SUPERCELL size for hot-path tables).
 
     A query in the low-x half of its cell can never reach cells whose
     minimum distance from that half-cell exceeds the radius; conditioning
-    the offset set on the query's cell octant prunes ~30% of the gathered
-    rows versus the whole-cell bound (54 vs 81 cells at leaf 0.8 /
-    radius 1.0; 196 vs 275 at leaf 0.4).
+    the offset set on the query's cell octant prunes the offset count
+    versus the whole-cell bound. With supercell buckets the query octant
+    is exactly its sub-voxel id, so the same integer pipeline the insert
+    uses yields the octant for free.
 
     Returns (deltas (8, O) uint32, valid (8, O) bool), octant id =
     (x_hi << 2) | (y_hi << 1) | z_hi of the within-cell halves.
     """
-    r = int(math.ceil(radius / leaf)) + 1
+    r = int(math.ceil(radius / cell)) + 1
     per_oct: List[np.ndarray] = []
     for oct_id in range(8):
         half = np.array([(oct_id >> 2) & 1, (oct_id >> 1) & 1, oct_id & 1],
-                        np.float64) * 0.5 * leaf
-        lo, hi = half, half + 0.5 * leaf
+                        np.float64) * 0.5 * cell
+        lo, hi = half, half + 0.5 * cell
         offs = []
         for dx in range(-r, r + 1):
             for dy in range(-r, r + 1):
                 for dz in range(-r, r + 1):
                     d2 = 0.0
                     for i, d in enumerate((dx, dy, dz)):
-                        gap = max(d * leaf - hi[i], lo[i] - (d + 1) * leaf,
+                        gap = max(d * cell - hi[i], lo[i] - (d + 1) * cell,
                                   0.0)
                         d2 += gap * gap
                     if d2 <= radius * radius + 1e-9:
@@ -384,9 +422,9 @@ def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
 
     ``deltas`` is either a flat (O,) linear-key delta table (whole-cell
     neighborhood) or a per-octant (8, O) table from octant_offset_tables —
-    in the latter case each query uses the offset set for its within-cell
-    octant, pruning ~30% of gathered rows. ``valid`` masks the padded
-    per-octant entries.
+    in the latter case each query uses the offset set for its sub-voxel
+    octant within its supercell. ``valid`` masks the padded per-octant
+    entries. Offsets index SUPERCELLS (2x2x2 voxel blocks).
 
     Returns ((cx, cy, cz), d2), each (Q, O*W) — structure-of-arrays so
     every downstream op has a wide minor dimension. Empty ways and padded
@@ -396,13 +434,10 @@ def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
     Q = queries.shape[0]
     H = packed_view.shape[0]
     dtype = queries.dtype
-    base = jnp.floor(queries / leaf).astype(jnp.int32)
-    base_key = linear_key(base)
-    if deltas.ndim == 2:  # per-octant tables
-        frac = queries / leaf - base.astype(dtype)
-        oct_id = ((frac[:, 0] >= 0.5).astype(jnp.int32) * 4
-                  + (frac[:, 1] >= 0.5).astype(jnp.int32) * 2
-                  + (frac[:, 2] >= 0.5).astype(jnp.int32))
+    cellq = jnp.floor(queries / leaf).astype(jnp.int32)
+    base_key = linear_key(cellq >> 1)
+    if deltas.ndim == 2:  # per-octant tables: octant == query's sub-voxel
+        oct_id = _subid(cellq)
         q_deltas = table_gather(deltas, oct_id)  # (Q, O)
         q_valid = table_gather(valid, oct_id) if valid is not None else None
     else:
@@ -411,7 +446,7 @@ def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
     O = q_deltas.shape[-1]
     lkeys = base_key[:, None] + q_deltas
     bkt = _bucket_of(lkeys, H)
-    rows = table_gather(packed_view, bkt)  # (Q, O, 16) channel-blocked
+    rows = table_gather(packed_view, bkt)  # (Q, O, 32) channel-blocked
     W = NUM_WAYS
     cx = rows[:, :, 0 * W:1 * W].reshape(Q, O * W)
     cy = rows[:, :, 1 * W:2 * W].reshape(Q, O * W)
@@ -484,10 +519,12 @@ def hash_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf,
                     num_buckets: int, out_capacity: int,
                     dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sort-free voxel-grid downsample (centroid per voxel) through a
-    scratch bucketed table: W scatter-claim rounds + one scatter-add +
-    prefix-sum compaction. Replaces the argsort-based
-    ops.voxel.voxel_downsample on the hot path."""
+    scratch bucketed table: sub-voxel slot claim (+ probe rounds for
+    bucket-aliased cells) + one scatter-add + prefix-sum compaction.
+    Replaces the argsort-based ops.voxel.voxel_downsample on the hot
+    path."""
     dtype = dtype or xyz.dtype
     vm = empty(num_buckets, leaf, dtype)
-    vm = insert(vm, xyz.astype(dtype), mask, count_cap=jnp.inf)
+    vm = insert(vm, xyz.astype(dtype), mask, count_cap=jnp.inf,
+                probe_rounds=NUM_WAYS)
     return compact(vm, out_capacity)

@@ -18,12 +18,12 @@ def fused_and_explicit(rng, leaf, assoc_kind):
     Q = 200
     queries = jnp.asarray(rng.uniform(-7, 7, size=(Q, 3)))
     qmask = jnp.ones(Q, bool)
-    offs = voxelmap.neighbor_offsets(leaf, 1.0)
+    offs = voxelmap.neighbor_offsets(voxelmap.SUPER * leaf, 1.0)
     offs_d = voxelmap.dedup_offsets(offs, vm.num_buckets)
     deltas = voxelmap.offset_key_deltas(offs_d)
 
     # explicit path
-    nn_xyz, nn_d2 = voxelmap.query_knn(view, queries, qmask, offs, k=5,
+    nn_xyz, nn_d2 = voxelmap.query_knn(view, queries, qmask, k=5,
                                        leaf=vm.leaf)
     # fused path
     cand_soa, d2 = voxelmap.query_candidates(view, vm.leaf, queries,

@@ -76,9 +76,8 @@ def test_query_knn_exact_within_radius(rng, leaf):
     cents = np.asarray(cents)[np.asarray(occ)]
 
     queries = rng.uniform(-7, 7, size=(200, 3))
-    offs = voxelmap.neighbor_offsets(leaf, 1.0)
     nn_xyz, nn_d2 = voxelmap.query_knn(
-        vm, jnp.asarray(queries), jnp.ones(len(queries), bool), offs, k=5)
+        vm, jnp.asarray(queries), jnp.ones(len(queries), bool), k=5)
     got_d2 = np.sort(np.asarray(nn_d2), axis=1)
     _, want_d2 = knn_ref(queries, cents, 5)
     want_d2 = np.sort(want_d2, axis=1)
@@ -92,11 +91,10 @@ def test_query_masks():
     vm = voxelmap.empty(256, 1.0, jnp.float64)
     vm = voxelmap.insert(vm, jnp.asarray([[0.5, 0.5, 0.5]]),
                          jnp.ones(1, bool))
-    offs = voxelmap.neighbor_offsets(1.0, 1.0)
     q = jnp.asarray([[0.6, 0.5, 0.5]])
-    nn_xyz, nn_d2 = voxelmap.query_knn(vm, q, jnp.zeros(1, bool), offs, k=5)
+    nn_xyz, nn_d2 = voxelmap.query_knn(vm, q, jnp.zeros(1, bool), k=5)
     assert np.isinf(np.asarray(nn_d2)).all()
-    nn_xyz, nn_d2 = voxelmap.query_knn(vm, q, jnp.ones(1, bool), offs, k=5)
+    nn_xyz, nn_d2 = voxelmap.query_knn(vm, q, jnp.ones(1, bool), k=5)
     assert abs(float(nn_d2[0, 0]) - 0.01) < 1e-9
     assert np.isinf(np.asarray(nn_d2[0, 1:])).all()
 
