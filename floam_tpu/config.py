@@ -141,7 +141,7 @@ class OdomConfig:
     #     (buckets, 32) f32 — keep map tables <= 32768 buckets (4 MB view)
     #     to stay in the fast gather tier (docs/PERFORMANCE.md)
     scan_edge_capacity: int = 4096  # downsampled edge features per scan
-    scan_surf_capacity: int = 16384  # downsampled surf features per scan
+    scan_surf_capacity: int = 8192  # downsampled surf features per scan
     scan_edge_table: int = 8192
     scan_surf_table: int = 16384
     map_edge_table: int = 16384
