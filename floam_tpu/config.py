@@ -135,17 +135,20 @@ class OdomConfig:
     #: round costs 3 sparse kernels per map side
     map_insert_probe_rounds: int = 2
     # --- static capacities (TPU padding). *_table values are hash-table
-    #     SUPERCELL bucket counts (power of 2, x8 sub-voxel ways each; keep
-    #     expected supercell occupancy well under 1/bucket so bucket
-    #     overflow drops stay negligible). The packed query view is
-    #     (buckets, 32) f32 — keep map tables <= 32768 buckets (4 MB view)
-    #     to stay in the fast gather tier (docs/PERFORMANCE.md)
+    #     SUPERCELL bucket counts (power of 2, x super^3 sub-voxel ways
+    #     each; keep expected supercell occupancy well under 1/bucket so
+    #     bucket overflow drops stay negligible). The packed query view is
+    #     (buckets, 4*way_block) f32 — keep each view <= ~8 MB to stay in
+    #     the fast gather tier (docs/PERFORMANCE.md). Supercell sizes are
+    #     tuned from the measured row-gather law: k-NN cost ~ rows
+    #     gathered; edge S=2 -> 3 and surf S=2 -> 4 cut the per-round
+    #     gather cost ~2.2x / ~3.8x at these radii and leaves
     scan_edge_capacity: int = 4096  # downsampled edge features per scan
     scan_surf_capacity: int = 8192  # downsampled surf features per scan
-    scan_edge_table: int = 8192
-    scan_surf_table: int = 16384
-    map_edge_table: int = 16384
-    map_surf_table: int = 32768
+    map_edge_super: int = 3  # 27 ways/bucket, view rows 128 f32
+    map_surf_super: int = 4  # 64 ways/bucket, view rows 256 f32
+    map_edge_table: int = 8192  # 221k voxel slots, 4 MB view
+    map_surf_table: int = 8192  # 524k voxel slots, 8 MB view
     #: two-phase deskew registration (UpdatePointsToMapSelector, :34-50)
     deskew: bool = False
     #: match the reference's literal behavior of registering the edge cloud

@@ -55,11 +55,11 @@ def _surf_leaf(oc: OdomConfig) -> float:
 
 
 @functools.lru_cache(maxsize=None)
-def _search_offsets(leaf: float, radius: float, num_buckets: int):
-    """Per-octant pruned + bucket-deduped linear-key delta tables over the
-    map table's SUPERCELL grid (static per config)."""
-    return voxelmap.octant_offset_tables(voxelmap.SUPER * leaf, radius,
-                                         num_buckets)
+def _search_offsets(leaf: float, radius: float, num_buckets: int,
+                    super: int):
+    """Per-sub-voxel pruned + bucket-deduped linear-key delta tables over
+    the map table's SUPERCELL grid (static per config)."""
+    return voxelmap.sub_offset_tables(leaf, super, radius, num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -68,8 +68,10 @@ def _search_offsets(leaf: float, radius: float, num_buckets: int):
 
 def init_state(cfg: FloamConfig, dtype=jnp.float32) -> OdomState:
     oc = cfg.odom
-    edge_vm = voxelmap.empty(oc.map_edge_table, _edge_leaf(oc), dtype)
-    surf_vm = voxelmap.empty(oc.map_surf_table, _surf_leaf(oc), dtype)
+    edge_vm = voxelmap.empty(oc.map_edge_table, _edge_leaf(oc), dtype,
+                             oc.map_edge_super)
+    surf_vm = voxelmap.empty(oc.map_surf_table, _surf_leaf(oc), dtype,
+                             oc.map_surf_super)
     return OdomState(
         pose=Pose.identity(dtype),
         last_pose=Pose.identity(dtype),
@@ -126,9 +128,11 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
     radius = float(oc.nn_radius_sq) ** 0.5
     k = oc.k_neighbors
     e_deltas, e_valid = _search_offsets(_edge_leaf(oc), radius,
-                                        oc.map_edge_table)
+                                        oc.map_edge_table,
+                                        oc.map_edge_super)
     s_deltas, s_valid = _search_offsets(_surf_leaf(oc), radius,
-                                        oc.map_surf_table)
+                                        oc.map_surf_table,
+                                        oc.map_surf_super)
 
     edge_view = map_state.edge_view
     surf_view = map_state.surf_view
@@ -149,7 +153,7 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
     pw_edge = se3.quat_rotate(pose.q[None, :], edge_xyz) + pose.t
     cand_e, d2_e = voxelmap.query_candidates(
         edge_view, map_state.edge.leaf, pw_edge,
-        jnp.asarray(e_deltas), jnp.asarray(e_valid))
+        jnp.asarray(e_deltas), jnp.asarray(e_valid), oc.map_edge_super)
     kth_e, win_e = voxelmap.select_k_mask(d2_e, k)
     ef = residuals.edge_association_fused(
         edge_xyz, pw_edge, cand_e, win_e, kth_e, k, oc.nn_radius_sq,
@@ -159,7 +163,7 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
     pw_surf = se3.quat_rotate(pose.q[None, :], surf_xyz) + pose.t
     cand_s, d2_s = voxelmap.query_candidates(
         surf_view, map_state.surf.leaf, pw_surf,
-        jnp.asarray(s_deltas), jnp.asarray(s_valid))
+        jnp.asarray(s_deltas), jnp.asarray(s_valid), oc.map_surf_super)
     kth_s, win_s = voxelmap.select_k_mask(d2_s, k)
     sf = residuals.surf_association_fused(
         surf_xyz, pw_surf, cand_s, win_s, kth_s, k, oc.nn_radius_sq,

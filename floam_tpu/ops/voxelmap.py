@@ -9,24 +9,27 @@ One bucketed hash table replaces three reference structures at once:
 Layout and algorithms are driven by the measured v5e cost model (see
 docs/PERFORMANCE.md). The honest law for the k-NN hot loop's row gather —
 with RUNTIME indices; constant-index microbenchmarks are ~100x flattered by
-compile-time specialization — is ~0.9 ms fixed + ~2.5-6 ns per gathered row
-while the table stays within the fast tier (<= ~4 MB), with cliffs above.
-Row COUNT is therefore the variable that matters, which drives the central
-layout decision:
+compile-time specialization — is a per-program fixed cost plus ~2-6 ns per
+gathered ROW, nearly independent of row width up to ~1 KB rows while the
+table stays in the fast tier (<= ~8 MB). Row COUNT is therefore the
+variable that matters, which drives the central layout decision:
 
-  * buckets are SUPERCELLS — 2x2x2 blocks of voxels — with 8 way slots per
-    bucket, one per sub-voxel position. A radius-1 m search from a query
-    needs candidate cells intersecting the ball; counted in supercells that
-    is 3.6x (edge, 0.4 m leaf) / 2.7x (surf, 0.8 m leaf) fewer gathered
-    rows than per-voxel buckets, at 2x the row width (cheap: rows are
-    latency-priced, not byte-priced).
-  * the authoritative table is H buckets x 8 ways stored as FLAT 1-D
+  * buckets are SUPERCELLS — SxSxS blocks of voxels (S configurable per
+    table) — with S^3 way slots per bucket, one per sub-voxel position. A
+    radius-1 m search needs candidate cells intersecting the ball; counted
+    in supercells that is several-fold fewer gathered rows than per-voxel
+    buckets, at wider (but latency-priced, so ~free) rows. Measured on a
+    v5e at the odometry shapes: edge map S=2 -> S=3 cuts the per-round
+    gather from 1.49 ms to 0.67 ms, surf S=2 -> S=4 from 0.90 ms to
+    0.23 ms;
+  * the authoritative table is H buckets x W ways stored as FLAT 1-D
     PLANES (sx, sy, sz, count, key) — every insert/evict touches only
     1-D scatters;
-  * a derived PACKED QUERY VIEW (H, 32) f32 — 8 ways x (cx, cy, cz) channel
-    blocks + 8 pad lanes, centroids pre-divided, empty ways pushed to
-    far-away coords — is rebuilt densely after map changes so the k-NN hot
-    loop is ONE 2-D row gather + pure elementwise math;
+  * a derived PACKED QUERY VIEW (H, 4*B) f32 — B = ways padded to a lane
+    block — [cx ways | cy ways | cz ways | pad] channel blocks, centroids
+    pre-divided, empty/pad ways pushed to far-away coords — is rebuilt
+    densely after map changes so the k-NN hot loop is ONE 2-D row gather +
+    pure elementwise math;
   * bucket selection uses a LINEAR hash (k = ux*A + uy*B + uz*C mod 2^32)
     of the SUPERCELL index: per query only the base supercell is hashed
     and each neighbor offset adds a precomputed delta — no integer-multiply
@@ -54,9 +57,10 @@ and only while their bucket is saturated.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
-from typing import List, NamedTuple, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,8 +70,8 @@ from .sparse import table_gather, table_scatter_add, table_scatter_set
 from .voxel import cell_key
 
 EMPTY_KEY = jnp.uint32(0xFFFFFFFF)  # cell_key never produces this
-NUM_WAYS = 8  # sub-voxel slots per supercell bucket
-SUPER = 2  # voxels per supercell edge
+SUPER = 2  # default voxels per supercell edge
+NUM_WAYS = SUPER ** 3  # sub-voxel slots per bucket at the default size
 #: odd multipliers for the linear bucket hash
 _LA = np.uint32(0x9E3779B1)
 _LB = np.uint32(0x85EBCA77)
@@ -76,8 +80,27 @@ _LC = np.uint32(0xC2B2AE3D)
 _FAR = 1e9
 
 
-class VoxelHashMap(NamedTuple):
-    """Supercell-bucketed voxel table as flat planes of length H*8."""
+def way_block(ways: int) -> int:
+    """Lane-aligned padded way count (power of two >= ways, min 8) so the
+    packed view's channel blocks slice at aligned offsets."""
+    b = 8
+    while b < ways:
+        b *= 2
+    return b
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("sx", "sy", "sz", "counts", "keys", "leaf"),
+    meta_fields=("super",),
+)
+@dataclasses.dataclass(frozen=True)
+class VoxelHashMap:
+    """Supercell-bucketed voxel table as flat planes of length H * super^3.
+
+    ``super`` (static) is the supercell edge in voxels; larger supercells
+    mean fewer, fatter rows per k-NN neighborhood (see module docstring).
+    """
 
     sx: jnp.ndarray
     sy: jnp.ndarray
@@ -85,10 +108,18 @@ class VoxelHashMap(NamedTuple):
     counts: jnp.ndarray
     keys: jnp.ndarray  # uint32 linear cell key (way ownership)
     leaf: jnp.ndarray  # () voxel edge length
+    super: int = SUPER
+
+    def _replace(self, **kw) -> "VoxelHashMap":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def ways(self) -> int:
+        return self.super ** 3
 
     @property
     def num_buckets(self) -> int:
-        return self.counts.shape[0] // NUM_WAYS
+        return self.counts.shape[0] // self.ways
 
     def centroids(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         d = jnp.maximum(self.counts, 1.0)
@@ -99,9 +130,10 @@ class VoxelHashMap(NamedTuple):
         return jnp.sum(self.counts > 0, dtype=jnp.int32)
 
 
-def empty(num_buckets: int, leaf: float, dtype=jnp.float32) -> VoxelHashMap:
+def empty(num_buckets: int, leaf: float, dtype=jnp.float32,
+          super: int = SUPER) -> VoxelHashMap:
     assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be 2^k"
-    HW = num_buckets * NUM_WAYS
+    HW = num_buckets * super ** 3
     # distinct buffers per plane (a shared zeros array would alias donated
     # buffers inside jitted state updates)
     return VoxelHashMap(
@@ -111,6 +143,7 @@ def empty(num_buckets: int, leaf: float, dtype=jnp.float32) -> VoxelHashMap:
         counts=jnp.zeros((HW,), dtype),
         keys=jnp.full((HW,), EMPTY_KEY, jnp.uint32),
         leaf=jnp.asarray(leaf, dtype),
+        super=super,
     )
 
 
@@ -125,25 +158,27 @@ def _bucket_of(lkeys: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
     return (lkeys & jnp.uint32(num_buckets - 1)).astype(jnp.int32)
 
 
-def _subid(cells: jnp.ndarray) -> jnp.ndarray:
-    """Sub-voxel slot within the 2x2x2 supercell: (x&1)<<2|(y&1)<<1|(z&1)."""
-    b = cells & 1
-    return (b[..., 0] * 4 + b[..., 1] * 2 + b[..., 2]).astype(jnp.int32)
+def _subid(cells: jnp.ndarray, super: int = SUPER) -> jnp.ndarray:
+    """Sub-voxel slot within the SxSxS supercell:
+    (x mod S)*S^2 + (y mod S)*S + (z mod S)."""
+    b = jnp.remainder(cells, super)
+    return (b[..., 0] * (super * super) + b[..., 1] * super
+            + b[..., 2]).astype(jnp.int32)
 
 
 def _resolve_slots(table_keys: jnp.ndarray, bucket: jnp.ndarray,
                    subid: jnp.ndarray, pkeys: jnp.ndarray,
-                   mask: jnp.ndarray, num_buckets: int, probe_rounds: int
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   mask: jnp.ndarray, num_buckets: int, probe_rounds: int,
+                   ways: int = NUM_WAYS) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Assign each point its slot: the sub-voxel way when free/owned, else
     probe subsequent ways (bucket-alias overflow). Returns
     (slot per point; HW = dropped, updated table_keys)."""
-    HW = num_buckets * NUM_WAYS
+    HW = num_buckets * ways
     slot_out = jnp.full(pkeys.shape, HW, jnp.int32)
     pending = mask
     for r in range(probe_rounds):
-        way = (subid + r) % NUM_WAYS
-        slot = bucket * NUM_WAYS + way
+        way = (subid + r) % ways
+        slot = bucket * ways + way
         cur = table_gather(table_keys, slot)
         claimable = pending & (cur == EMPTY_KEY)
         table_keys = table_scatter_set(
@@ -173,9 +208,9 @@ def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
     # key is injective and dedup is exact — and it avoids the murmur mix,
     # whose emulated uint32 multiplies dominate at full-cloud scale
     mkey = linear_key(cells)
-    parent = cells >> 1  # arithmetic shift == floor division
+    parent = cells // vm.super  # floor division (negatives round down)
     pkey = linear_key(parent)
-    sub = _subid(cells)
+    sub = _subid(cells, vm.super)
     if global_buckets:
         gbucket = _bucket_of(pkey, global_buckets)
         bucket = gbucket - bucket_base
@@ -184,8 +219,8 @@ def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
     else:
         bucket = _bucket_of(pkey, H)
     slot, keys = _resolve_slots(vm.keys, bucket, sub, mkey, mask, H,
-                                probe_rounds)
-    w = (slot < H * NUM_WAYS).astype(vm.sx.dtype)
+                                probe_rounds, vm.ways)
+    w = (slot < H * vm.ways).astype(vm.sx.dtype)
     sx = table_scatter_add(vm.sx, slot, xyz[:, 0].astype(vm.sx.dtype) * w)
     sy = table_scatter_add(vm.sy, slot, xyz[:, 1].astype(vm.sx.dtype) * w)
     sz = table_scatter_add(vm.sz, slot, xyz[:, 2].astype(vm.sx.dtype) * w)
@@ -216,29 +251,36 @@ def crop(vm: VoxelHashMap, center: jnp.ndarray, radius) -> VoxelHashMap:
 # Packed query view + k-NN
 # ---------------------------------------------------------------------------
 
-#: packed-view row: 8 ways x (x | y | z) channel blocks + 8 pad lanes
-VIEW_WIDTH = 4 * NUM_WAYS
+#: packed-view row width at the default supercell size
+VIEW_WIDTH = 4 * way_block(NUM_WAYS)
 
 
 def pack_query_view(vm: VoxelHashMap) -> jnp.ndarray:
-    """Dense (H, 32) row table of pre-divided centroids, CHANNEL-BLOCKED:
-    columns [x ways 0..7 | y ways 0..7 | z ways 0..7 | pad 8]. Empty ways
-    sit at _FAR so they lose every distance comparison.
+    """Dense (H, 4*B) row table of pre-divided centroids, CHANNEL-BLOCKED
+    with B = way_block(ways): columns [x ways | y ways | z ways | pad B].
+    Empty AND pad ways sit at _FAR so they lose every distance comparison.
 
     The channel-block layout lets the query slice each coordinate into a
-    (Q, O*W) plane whose minor dimension is hundreds wide — TPU vector
+    (Q, O*B) plane whose minor dimension is hundreds wide — TPU vector
     registers are (8, 128), so keeping xyz as a trailing size-3 axis would
     run every elementwise op at ~2% lane utilization (docs/PERFORMANCE.md).
     """
     H = vm.num_buckets
+    W = vm.ways
+    B = way_block(W)
     d = jnp.maximum(vm.counts, 1.0)
     occ = vm.counts > 0
     far = jnp.asarray(_FAR, vm.sx.dtype)
-    cx = jnp.where(occ, vm.sx / d, far).reshape(H, NUM_WAYS)
-    cy = jnp.where(occ, vm.sy / d, far).reshape(H, NUM_WAYS)
-    cz = jnp.where(occ, vm.sz / d, far).reshape(H, NUM_WAYS)
+    cx = jnp.where(occ, vm.sx / d, far).reshape(H, W)
+    cy = jnp.where(occ, vm.sy / d, far).reshape(H, W)
+    cz = jnp.where(occ, vm.sz / d, far).reshape(H, W)
+    if B != W:
+        padw = jnp.full((H, B - W), far, vm.sx.dtype)
+        cx = jnp.concatenate([cx, padw], axis=1)
+        cy = jnp.concatenate([cy, padw], axis=1)
+        cz = jnp.concatenate([cz, padw], axis=1)
     pad = jnp.zeros_like(cx)
-    return jnp.concatenate([cx, cy, cz, pad], axis=1)  # (H, 32)
+    return jnp.concatenate([cx, cy, cz, pad], axis=1)  # (H, 4*B)
 
 
 def neighbor_offsets(cell: float, radius: float) -> np.ndarray:
@@ -295,14 +337,17 @@ def _packed_min_k(d2: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _query_impl(packed_view, leaf, queries, qmask, deltas, valid, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "super"))
+def _query_impl(packed_view, leaf, queries, qmask, deltas, valid, k: int,
+                super: int = SUPER):
     """Explicit k-NN (test/utility path; the odometry hot loop uses
     query_candidates + select_k_mask + fused association instead)."""
     H = packed_view.shape[0]
     dtype = queries.dtype
+    B = packed_view.shape[1] // 4
+    ways = super ** 3
     (cx, cy, cz), d2 = query_candidates(packed_view, leaf, queries, deltas,
-                                        valid)
+                                        valid, super)
     sel_d2, nn_idx = _packed_min_k(d2.astype(jnp.float32), k)
     nx = jnp.take_along_axis(cx, nn_idx, axis=1)
     ny = jnp.take_along_axis(cy, nn_idx, axis=1)
@@ -317,16 +362,16 @@ def _query_impl(packed_view, leaf, queries, qmask, deltas, valid, k: int):
     # neighbor offsets; invalidate repeat winners so they fail the radius
     # gate instead of polluting line/plane fits with duplicate points
     cellq = jnp.floor(queries / leaf).astype(jnp.int32)
-    base_key = linear_key(cellq >> 1)
+    base_key = linear_key(cellq // super)
     if deltas.ndim == 2:
-        q_deltas = table_gather(deltas, _subid(cellq))
+        q_deltas = table_gather(deltas, _subid(cellq, super))
     else:
         q_deltas = jnp.broadcast_to(deltas[None, :],
                                     (queries.shape[0], deltas.shape[0]))
     bkt = _bucket_of(base_key[:, None] + q_deltas, H)
-    way = nn_idx % NUM_WAYS
-    o_idx = nn_idx // NUM_WAYS
-    slot = jnp.take_along_axis(bkt, o_idx, axis=1) * NUM_WAYS + way  # (Q, k)
+    way = nn_idx % B  # pad ways (>= ways) never win: they sit at _FAR
+    o_idx = nn_idx // B
+    slot = jnp.take_along_axis(bkt, o_idx, axis=1) * ways + way  # (Q, k)
     dup = jnp.zeros(slot.shape, bool)
     for i in range(1, slot.shape[1]):
         dup = dup.at[:, i].set(
@@ -349,61 +394,70 @@ def query_knn(vm_or_view, queries: jnp.ndarray, qmask: jnp.ndarray,
     if isinstance(vm_or_view, VoxelHashMap):
         view = pack_query_view(vm_or_view)
         leaf = vm_or_view.leaf
+        super = vm_or_view.super
     else:
         view = vm_or_view
         assert leaf is not None
+        super = SUPER
     H = view.shape[0]
-    deltas, valid = octant_offset_tables(
-        SUPER * float(np.asarray(leaf)), radius, H)
+    deltas, valid = sub_offset_tables(
+        float(np.asarray(leaf)), super, radius, H)
     return _query_impl(view, leaf, queries, qmask, jnp.asarray(deltas),
-                       jnp.asarray(valid), k)
+                       jnp.asarray(valid), k, super)
 
 
 # ---------------------------------------------------------------------------
 # Compaction + sort-free downsample
 # ---------------------------------------------------------------------------
 
-def octant_offset_tables(cell: float, radius: float, num_buckets: int):
-    """Per-octant pruned + bucket-deduped neighbor tables over a grid of
-    ``cell``-sized cells (pass the SUPERCELL size for hot-path tables).
+def sub_offset_tables(leaf: float, super: int, radius: float,
+                      num_buckets: int):
+    """Per-sub-voxel pruned + bucket-deduped neighbor tables over the
+    supercell grid (supercell edge = ``super * leaf``).
 
-    A query in the low-x half of its cell can never reach cells whose
-    minimum distance from that half-cell exceeds the radius; conditioning
-    the offset set on the query's cell octant prunes the offset count
-    versus the whole-cell bound. With supercell buckets the query octant
-    is exactly its sub-voxel id, so the same integer pipeline the insert
-    uses yields the octant for free.
+    A query inside sub-voxel (i, j, k) of its supercell can never reach
+    supercells whose minimum distance from that sub-voxel box exceeds the
+    radius; conditioning the offset set on the query's sub-voxel id prunes
+    the offset count versus the whole-supercell bound. The sub-voxel id is
+    the same integer the insert path computes, so it is free at query time.
 
-    Returns (deltas (8, O) uint32, valid (8, O) bool), octant id =
-    (x_hi << 2) | (y_hi << 1) | z_hi of the within-cell halves.
+    Returns (deltas (super^3, O) uint32, valid (super^3, O) bool),
+    row index = _subid of the query's voxel cell.
     """
+    cell = super * leaf
     r = int(math.ceil(radius / cell)) + 1
-    per_oct: List[np.ndarray] = []
-    for oct_id in range(8):
-        half = np.array([(oct_id >> 2) & 1, (oct_id >> 1) & 1, oct_id & 1],
-                        np.float64) * 0.5 * cell
-        lo, hi = half, half + 0.5 * cell
+    per_sub: List[np.ndarray] = []
+    for sid in range(super ** 3):
+        i, j, k = sid // (super * super), (sid // super) % super, sid % super
+        lo = np.array([i, j, k], np.float64) * leaf
+        hi = lo + leaf
         offs = []
         for dx in range(-r, r + 1):
             for dy in range(-r, r + 1):
                 for dz in range(-r, r + 1):
                     d2 = 0.0
-                    for i, d in enumerate((dx, dy, dz)):
-                        gap = max(d * cell - hi[i], lo[i] - (d + 1) * cell,
+                    for ax, d in enumerate((dx, dy, dz)):
+                        gap = max(d * cell - hi[ax], lo[ax] - (d + 1) * cell,
                                   0.0)
                         d2 += gap * gap
                     if d2 <= radius * radius + 1e-9:
                         offs.append((dx, dy, dz))
-        per_oct.append(dedup_offsets(np.asarray(offs, np.int32),
+        per_sub.append(dedup_offsets(np.asarray(offs, np.int32),
                                      num_buckets))
-    O = max(len(o) for o in per_oct)
-    deltas = np.zeros((8, O), np.uint32)
-    valid = np.zeros((8, O), bool)
-    for i, offs in enumerate(per_oct):
+    O = max(len(o) for o in per_sub)
+    deltas = np.zeros((super ** 3, O), np.uint32)
+    valid = np.zeros((super ** 3, O), bool)
+    for i, offs in enumerate(per_sub):
         d = offset_key_deltas(offs)
         deltas[i, :len(d)] = d
         valid[i, :len(d)] = True
     return deltas, valid
+
+
+def octant_offset_tables(cell: float, radius: float, num_buckets: int):
+    """Back-compat wrapper: per-octant tables over 2x2x2 supercells whose
+    SUPERCELL edge is ``cell`` (sub-voxel = half-cell)."""
+    return sub_offset_tables(0.5 * cell, 2, radius, num_buckets)
 
 
 def dedup_offsets(offsets: np.ndarray, num_buckets: int) -> np.ndarray:
@@ -417,48 +471,56 @@ def dedup_offsets(offsets: np.ndarray, num_buckets: int) -> np.ndarray:
 
 
 def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
-                     deltas: jnp.ndarray, valid: jnp.ndarray = None):
+                     deltas: jnp.ndarray, valid: jnp.ndarray = None,
+                     super: int = SUPER):
     """Gather all candidate centroids around each query: ONE row gather.
 
     ``deltas`` is either a flat (O,) linear-key delta table (whole-cell
-    neighborhood) or a per-octant (8, O) table from octant_offset_tables —
-    in the latter case each query uses the offset set for its sub-voxel
-    octant within its supercell. ``valid`` masks the padded per-octant
-    entries. Offsets index SUPERCELLS (2x2x2 voxel blocks).
+    neighborhood) or a per-sub-voxel (super^3, O) table from
+    sub_offset_tables — in the latter case each query uses the offset set
+    for its sub-voxel position within its supercell. ``valid`` masks the
+    padded per-sub-voxel entries. Offsets index SUPERCELLS (super^3 voxel
+    blocks); ``super`` must match the supercell size the view was packed
+    with.
 
-    Returns ((cx, cy, cz), d2), each (Q, O*W) — structure-of-arrays so
-    every downstream op has a wide minor dimension. Empty ways and padded
-    offsets sit at huge finite distances. Offset tables should be
-    bucket-deduped (dedup_offsets) so no stored way appears twice.
+    Returns ((cx, cy, cz), d2), each (Q, O*B) with B = way_block(super^3)
+    — structure-of-arrays so every downstream op has a wide minor
+    dimension. Empty ways, pad ways, and padded offsets sit at huge finite
+    distances. Offset tables should be bucket-deduped (dedup_offsets) so
+    no stored way appears twice.
     """
     Q = queries.shape[0]
     H = packed_view.shape[0]
     dtype = queries.dtype
+    B = packed_view.shape[1] // 4
     cellq = jnp.floor(queries / leaf).astype(jnp.int32)
-    base_key = linear_key(cellq >> 1)
-    if deltas.ndim == 2:  # per-octant tables: octant == query's sub-voxel
-        oct_id = _subid(cellq)
-        q_deltas = table_gather(deltas, oct_id)  # (Q, O)
-        q_valid = table_gather(valid, oct_id) if valid is not None else None
+    base_key = linear_key(cellq // super)
+    if deltas.ndim == 2:  # per-sub-voxel tables
+        sub_id = _subid(cellq, super)
+        q_deltas = table_gather(deltas, sub_id)  # (Q, O)
+        q_valid = table_gather(valid, sub_id) if valid is not None else None
     else:
         q_deltas = deltas[None, :]
         q_valid = None
     O = q_deltas.shape[-1]
     lkeys = base_key[:, None] + q_deltas
     bkt = _bucket_of(lkeys, H)
-    rows = table_gather(packed_view, bkt)  # (Q, O, 32) channel-blocked
-    W = NUM_WAYS
-    cx = rows[:, :, 0 * W:1 * W].reshape(Q, O * W)
-    cy = rows[:, :, 1 * W:2 * W].reshape(Q, O * W)
-    cz = rows[:, :, 2 * W:3 * W].reshape(Q, O * W)
+    rows = table_gather(packed_view, bkt)  # (Q, O, 4B) channel-blocked
+    cx = rows[:, :, 0 * B:1 * B].reshape(Q, O * B)
+    cy = rows[:, :, 1 * B:2 * B].reshape(Q, O * B)
+    cz = rows[:, :, 2 * B:3 * B].reshape(Q, O * B)
     dx = cx - queries[:, 0:1]
     dy = cy - queries[:, 1:2]
     dz = cz - queries[:, 2:3]
     d2 = dx * dx + dy * dy + dz * dz
     if q_valid is not None:
-        pad = ~jnp.repeat(q_valid, W, axis=-1)
+        pad = ~jnp.repeat(q_valid, B, axis=-1)
         d2 = jnp.where(pad, jnp.asarray(_FAR * _FAR, dtype), d2)
-    return (cx, cy, cz), d2
+    # materialize the candidate planes ONCE: the k-NN selection and the
+    # masked-moment fits traverse them many times, and without the barrier
+    # XLA fuses (= re-executes) the row gather into every pass — measured
+    # 2x the whole association cost at the odometry shapes
+    return jax.lax.optimization_barrier(((cx, cy, cz), d2))
 
 
 def select_k_mask(d2: jnp.ndarray, k: int):
@@ -517,14 +579,15 @@ def compact_points(xyz: jnp.ndarray, mask: jnp.ndarray, out_capacity: int
 
 def hash_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf,
                     num_buckets: int, out_capacity: int,
-                    dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    dtype=None, super: int = SUPER
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sort-free voxel-grid downsample (centroid per voxel) through a
     scratch bucketed table: sub-voxel slot claim (+ probe rounds for
     bucket-aliased cells) + one scatter-add + prefix-sum compaction.
     Replaces the argsort-based ops.voxel.voxel_downsample on the hot
     path."""
     dtype = dtype or xyz.dtype
-    vm = empty(num_buckets, leaf, dtype)
+    vm = empty(num_buckets, leaf, dtype, super)
     vm = insert(vm, xyz.astype(dtype), mask, count_cap=jnp.inf,
-                probe_rounds=NUM_WAYS)
+                probe_rounds=super ** 3)
     return compact(vm, out_capacity)

@@ -32,15 +32,20 @@ from ..ops import voxelmap
 from ..types import MapState, OdomState, Pose, PointBatch
 
 
-def _state_spec(axis: str):
-    vm = voxelmap.VoxelHashMap(
-        sx=P(axis), sy=P(axis), sz=P(axis), counts=P(axis), keys=P(axis),
-        leaf=P())
+def _state_spec(axis: str, cfg: FloamConfig):
+    def vm(super):
+        # ``super`` is pytree aux data: it must match the real state's or
+        # tree_map over (state, spec) sees different structures
+        return voxelmap.VoxelHashMap(
+            sx=P(axis), sy=P(axis), sz=P(axis), counts=P(axis),
+            keys=P(axis), leaf=P(), super=super)
+
     pose = Pose(q=P(), t=P())
     return OdomState(
         pose=pose, last_pose=pose,
-        map=MapState(edge=vm, surf=vm, edge_view=P(axis),
-                     surf_view=P(axis)),
+        map=MapState(edge=vm(cfg.odom.map_edge_super),
+                     surf=vm(cfg.odom.map_surf_super),
+                     edge_view=P(axis), surf_view=P(axis)),
         opt_count=P(), last_kf_pose=pose, frame_idx=P())
 
 
@@ -53,7 +58,7 @@ def make_map_sharded_step(mesh: Mesh, cfg: FloamConfig, axis: str = "mp"):
     replicated; the state's hash-table planes and packed views are sharded
     along ``axis``."""
     n = mesh.shape[axis]
-    sspec = _state_spec(axis)
+    sspec = _state_spec(axis, cfg)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -67,11 +72,12 @@ def make_map_sharded_step(mesh: Mesh, cfg: FloamConfig, axis: str = "mp"):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def shard_state(state: OdomState, mesh: Mesh, axis: str = "mp") -> OdomState:
+def shard_state(state: OdomState, mesh: Mesh, cfg: FloamConfig,
+                axis: str = "mp") -> OdomState:
     """Place a replicated single-device state as a sharded one."""
     from jax.sharding import NamedSharding
 
-    spec = _state_spec(axis)
+    spec = _state_spec(axis, cfg)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         state, spec)

@@ -76,9 +76,11 @@ def main():
 
     radius = float(oc.nn_radius_sq) ** 0.5
     s_deltas, s_valid = _search_offsets(_surf_leaf(oc), radius,
-                                        oc.map_surf_table)
+                                        oc.map_surf_table,
+                                        oc.map_surf_super)
     e_deltas, e_valid = _search_offsets(_edge_leaf(oc), radius,
-                                        oc.map_edge_table)
+                                        oc.map_edge_table,
+                                        oc.map_edge_super)
     print("edge offsets", e_deltas.shape, "surf offsets", s_deltas.shape)
 
     @jax.jit
@@ -86,7 +88,7 @@ def main():
         pw = se3.quat_rotate(st.pose.q[None, :], s_xyz) + pose_t
         cand, d2 = voxelmap.query_candidates(
             st.map.surf_view, st.map.surf.leaf, pw,
-            jnp.asarray(s_deltas), jnp.asarray(s_valid))
+            jnp.asarray(s_deltas), jnp.asarray(s_valid), oc.map_surf_super)
         return d2.sum()
 
     timeit(surf_gather, state.pose.t, state, label="surf query_candidates")
@@ -96,7 +98,7 @@ def main():
         pw = se3.quat_rotate(st.pose.q[None, :], s_xyz) + pose_t
         cand, d2 = voxelmap.query_candidates(
             st.map.surf_view, st.map.surf.leaf, pw,
-            jnp.asarray(s_deltas), jnp.asarray(s_valid))
+            jnp.asarray(s_deltas), jnp.asarray(s_valid), oc.map_surf_super)
         kth, win = voxelmap.select_k_mask(d2, oc.k_neighbors)
         return kth.sum()
 
@@ -107,7 +109,7 @@ def main():
         pw = se3.quat_rotate(st.pose.q[None, :], e_xyz) + pose_t
         cand, d2 = voxelmap.query_candidates(
             st.map.edge_view, st.map.edge.leaf, pw,
-            jnp.asarray(e_deltas), jnp.asarray(e_valid))
+            jnp.asarray(e_deltas), jnp.asarray(e_valid), oc.map_edge_super)
         return d2.sum()
 
     timeit(edge_gather, state.pose.t, state, label="edge query_candidates")
@@ -119,7 +121,7 @@ def main():
         pw = se3.quat_rotate(st.pose.q[None, :], s_xyz) + pose_t
         cand, d2 = voxelmap.query_candidates(
             st.map.surf_view, st.map.surf.leaf, pw,
-            jnp.asarray(s_deltas), jnp.asarray(s_valid))
+            jnp.asarray(s_deltas), jnp.asarray(s_valid), oc.map_surf_super)
         kth, win = voxelmap.select_k_mask(d2, oc.k_neighbors)
         sf = residuals.surf_association_fused(
             s_xyz, pw, cand, win, kth, oc.k_neighbors, oc.nn_radius_sq,

@@ -28,9 +28,7 @@ def main():
     cfg = FloamConfig(
         lidar=LidarConfig(num_lines=16, points_per_ring=1024,
                           min_distance=0.5, max_distance=30.0),
-        odom=OdomConfig(map_resolution=0.2, scan_edge_capacity=1024,
-                        scan_edge_table=2048, scan_surf_capacity=4096,
-                        scan_surf_table=8192, map_edge_table=8192,
+        odom=OdomConfig(map_resolution=0.2, scan_edge_capacity=1024, scan_surf_capacity=4096, map_edge_table=8192,
                         map_surf_table=32768, max_outer_iters=6),
     )
     world = sim.World.room(size=18.0, height=4.0, num_poles=14, seed=1)

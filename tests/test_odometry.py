@@ -21,9 +21,7 @@ def small_config() -> FloamConfig:
         odom=OdomConfig(
             map_resolution=0.2,
             scan_edge_capacity=1024,
-            scan_edge_table=2048,
             scan_surf_capacity=4096,
-            scan_surf_table=8192,
             map_edge_table=8192,
             map_surf_table=32768,
             max_outer_iters=6,

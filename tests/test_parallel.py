@@ -202,7 +202,7 @@ def test_map_sharded_step_matches_single(rng):
     # sharded: seed via the sharded insert path so tables agree
     s1 = odometry.init_state(cfg, dtype=jnp.float64)
     s1 = odometry.init_map_impl(s1, edge, surf, cfg)
-    s1 = shard_state(s1, mesh)
+    s1 = shard_state(s1, mesh, cfg)
     step = make_map_sharded_step(mesh, cfg)
     out_state, diag = step(s1, edge, surf)
 
