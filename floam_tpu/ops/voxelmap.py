@@ -506,6 +506,10 @@ def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
     lkeys = base_key[:, None] + q_deltas
     bkt = _bucket_of(lkeys, H)
     rows = table_gather(packed_view, bkt)  # (Q, O, 4B) channel-blocked
+    # materialize the gather ONCE: its four consumers (cx/cy/cz slices and
+    # d2) otherwise each pull the gather into their own fusion and the row
+    # gather executes up to 4x (measured 2.2 ms vs 0.7 ms on the edge side)
+    rows = jax.lax.optimization_barrier(rows)
     cx = rows[:, :, 0 * B:1 * B].reshape(Q, O * B)
     cy = rows[:, :, 1 * B:2 * B].reshape(Q, O * B)
     cz = rows[:, :, 2 * B:3 * B].reshape(Q, O * B)
