@@ -118,6 +118,18 @@ class OdomConfig:
     adaptive_rounds: bool = True
     converge_transl: float = 1e-3
     converge_rot: float = 2e-4
+    #: gather k-NN candidate rows ONCE per scan (at the predicted pose) and
+    #: re-rank/re-fit them after every GN round's pose update, instead of
+    #: re-gathering per outer round. The candidate search radius is inflated
+    #: by ``assoc_margin`` so the one gather stays a superset of every
+    #: round's true radius-sqrt(nn_radius_sq) neighborhood as long as the
+    #: total pose correction stays under the margin (constant-velocity
+    #: prediction errors are cm-scale; see docs/PERFORMANCE.md). The
+    #: reference re-associates per round against a static kd-tree
+    #: (src/odomEstimationClass.cpp:81-108) — one gather per round is the
+    #: moral equivalent, and the dominant cost on TPU.
+    gather_per_round: bool = False
+    assoc_margin: float = 0.25
     #: NN grid cell size (must be >= sqrt(nn_radius_sq) so that a 3^3
     #: neighborhood covers the search radius) — used by the generic sorted
     #: -grid search in ops.knn; the odometry hot path uses the voxel hash
@@ -143,8 +155,15 @@ class OdomConfig:
     #     tuned from the measured row-gather law: k-NN cost ~ rows
     #     gathered; edge S=2 -> 3 and surf S=2 -> 4 cut the per-round
     #     gather cost ~2.2x / ~3.8x at these radii and leaves
-    scan_edge_capacity: int = 4096  # downsampled edge features per scan
-    scan_surf_capacity: int = 8192  # downsampled surf features per scan
+    #: association query budgets. Edge picks are compacted strongest-first
+    #: (per-sector rank-major) and surf samples azimuth-interleaved, so
+    #: overflow drops the weakest/densest points uniformly — the TPU
+    #: analogue of the reference's scan-side VoxelGrid downsample
+    #: (src/odomEstimationClass.cpp:137-142, leaf 0.4/0.8 keeps a similar
+    #: ~2k/~3k points per scan). k-NN gather cost is linear in these.
+    scan_edge_capacity: int = 2048  # edge queries after compaction
+    scan_surf_capacity: int = 4096  # surf queries after compaction
+    scan_surf_slots: int = 8192  # strided surf sample grid, pre-compaction
     map_edge_super: int = 3  # 27 ways/bucket, view rows 128 f32
     map_surf_super: int = 4  # 64 ways/bucket, view rows 256 f32
     map_edge_table: int = 8192  # 221k voxel slots, 4 MB view

@@ -115,45 +115,63 @@ init_map = functools.partial(jax.jit, static_argnames=("cfg",),
 # Association + solve
 # ---------------------------------------------------------------------------
 
-def _associate_and_solve(pose: Pose, map_state: MapState,
-                         edge_xyz, edge_mask, surf_xyz, surf_mask,
-                         oc: OdomConfig, shard_axis=None,
-                         shard_n: int = 1) -> Tuple[Pose, gn.GNStats]:
-    """One outer round: re-associate at the current pose, then run the fixed
-    inner GN iterations (one Ceres Solve in the reference, :92-108).
-
-    The association is fully gather-free: one packed row gather per map
-    side, then masked-moment line/plane fits (see ops.residuals fused
-    variants and docs/PERFORMANCE.md)."""
-    radius = float(oc.nn_radius_sq) ** 0.5
-    k = oc.k_neighbors
-    e_deltas, e_valid = _search_offsets(_edge_leaf(oc), radius,
-                                        oc.map_edge_table,
-                                        oc.map_edge_super)
-    s_deltas, s_valid = _search_offsets(_surf_leaf(oc), radius,
-                                        oc.map_surf_table,
-                                        oc.map_surf_super)
-
+def _shard_inputs(map_state: MapState, edge_xyz, edge_mask, surf_xyz,
+                  surf_mask, shard_axis, shard_n: int):
+    """Bucket-range-sharded map tables: gather the dense packed views over
+    ICI so the k-NN row gathers stay device-local, and split the query set
+    so factor work is sharded too. Runs ONCE per scan."""
     edge_view = map_state.edge_view
     surf_view = map_state.surf_view
-    if shard_axis is not None:
-        # map tables are bucket-range-sharded: gather the dense packed
-        # views over ICI so the k-NN row gathers stay device-local, and
-        # split the query set so factor work is sharded too
-        edge_view = jax.lax.all_gather(edge_view, shard_axis, tiled=True)
-        surf_view = jax.lax.all_gather(surf_view, shard_axis, tiled=True)
-        rank = jax.lax.axis_index(shard_axis)
-        qe = edge_xyz.shape[0] // shard_n
-        qs = surf_xyz.shape[0] // shard_n
-        edge_xyz = jax.lax.dynamic_slice_in_dim(edge_xyz, rank * qe, qe)
-        edge_mask = jax.lax.dynamic_slice_in_dim(edge_mask, rank * qe, qe)
-        surf_xyz = jax.lax.dynamic_slice_in_dim(surf_xyz, rank * qs, qs)
-        surf_mask = jax.lax.dynamic_slice_in_dim(surf_mask, rank * qs, qs)
+    if shard_axis is None:
+        return edge_view, surf_view, edge_xyz, edge_mask, surf_xyz, surf_mask
+    edge_view = jax.lax.all_gather(edge_view, shard_axis, tiled=True)
+    surf_view = jax.lax.all_gather(surf_view, shard_axis, tiled=True)
+    rank = jax.lax.axis_index(shard_axis)
+    qe = edge_xyz.shape[0] // shard_n
+    qs = surf_xyz.shape[0] // shard_n
+    edge_xyz = jax.lax.dynamic_slice_in_dim(edge_xyz, rank * qe, qe)
+    edge_mask = jax.lax.dynamic_slice_in_dim(edge_mask, rank * qe, qe)
+    surf_xyz = jax.lax.dynamic_slice_in_dim(surf_xyz, rank * qs, qs)
+    surf_mask = jax.lax.dynamic_slice_in_dim(surf_mask, rank * qs, qs)
+    return edge_view, surf_view, edge_xyz, edge_mask, surf_xyz, surf_mask
 
+
+def _gather_candidates(pose: Pose, map_state: MapState, edge_view, surf_view,
+                       edge_xyz, surf_xyz, oc: OdomConfig, margin: float):
+    """The per-scan k-NN row gathers (the measured hot-path floor): pull
+    every candidate centroid within radius+margin of each query at ``pose``
+    into dense SoA planes. One row gather per map side."""
+    radius = float(oc.nn_radius_sq) ** 0.5 + margin
+    e_deltas, e_valid = _search_offsets(_edge_leaf(oc), radius,
+                                        oc.map_edge_table, oc.map_edge_super)
+    s_deltas, s_valid = _search_offsets(_surf_leaf(oc), radius,
+                                        oc.map_surf_table, oc.map_surf_super)
     pw_edge = se3.quat_rotate(pose.q[None, :], edge_xyz) + pose.t
     cand_e, d2_e = voxelmap.query_candidates(
         edge_view, map_state.edge.leaf, pw_edge,
         jnp.asarray(e_deltas), jnp.asarray(e_valid), oc.map_edge_super)
+    pw_surf = se3.quat_rotate(pose.q[None, :], surf_xyz) + pose.t
+    cand_s, d2_s = voxelmap.query_candidates(
+        surf_view, map_state.surf.leaf, pw_surf,
+        jnp.asarray(s_deltas), jnp.asarray(s_valid), oc.map_surf_super)
+    return cand_e, d2_e, cand_s, d2_s
+
+
+def _solve_from_candidates(pose: Pose, cand_e, d2_e, cand_s, d2_s,
+                           edge_xyz, edge_mask, surf_xyz, surf_mask,
+                           oc: OdomConfig, shard_axis=None
+                           ) -> Tuple[Pose, gn.GNStats]:
+    """One outer round on pre-gathered candidates: (re-)rank the candidate
+    planes against the CURRENT pose's query positions, fit line/plane
+    factors, and run the fixed inner GN iterations (one Ceres Solve in the
+    reference, :92-108). Pure elementwise + reductions — no gathers.
+
+    ``d2_e``/``d2_s`` may be None to recompute distances from the planes
+    (any round after the pose moved)."""
+    k = oc.k_neighbors
+    pw_edge = se3.quat_rotate(pose.q[None, :], edge_xyz) + pose.t
+    if d2_e is None:
+        d2_e = voxelmap.candidate_d2(cand_e, pw_edge)
     kth_e, win_e = voxelmap.select_k_mask(d2_e, k)
     ef = residuals.edge_association_fused(
         edge_xyz, pw_edge, cand_e, win_e, kth_e, k, oc.nn_radius_sq,
@@ -161,9 +179,8 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
     ef = ef._replace(valid=ef.valid & edge_mask)
 
     pw_surf = se3.quat_rotate(pose.q[None, :], surf_xyz) + pose.t
-    cand_s, d2_s = voxelmap.query_candidates(
-        surf_view, map_state.surf.leaf, pw_surf,
-        jnp.asarray(s_deltas), jnp.asarray(s_valid), oc.map_surf_super)
+    if d2_s is None:
+        d2_s = voxelmap.candidate_d2(cand_s, pw_surf)
     kth_s, win_s = voxelmap.select_k_mask(d2_s, k)
     sf = residuals.surf_association_fused(
         surf_xyz, pw_surf, cand_s, win_s, kth_s, k, oc.nn_radius_sq,
@@ -171,6 +188,22 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
     sf = sf._replace(valid=sf.valid & surf_mask)
 
     return gn.solve_pose(pose, ef, sf, oc, shard_axis=shard_axis)
+
+
+def _associate_and_solve(pose: Pose, map_state: MapState,
+                         edge_xyz, edge_mask, surf_xyz, surf_mask,
+                         oc: OdomConfig, shard_axis=None,
+                         shard_n: int = 1) -> Tuple[Pose, gn.GNStats]:
+    """One self-contained associate+solve round (gather at the current
+    pose, margin 0): the cfg.gather_per_round path and profiling unit."""
+    edge_view, surf_view, edge_xyz, edge_mask, surf_xyz, surf_mask = \
+        _shard_inputs(map_state, edge_xyz, edge_mask, surf_xyz, surf_mask,
+                      shard_axis, shard_n)
+    cand_e, d2_e, cand_s, d2_s = _gather_candidates(
+        pose, map_state, edge_view, surf_view, edge_xyz, surf_xyz, oc, 0.0)
+    return _solve_from_candidates(pose, cand_e, d2_e, cand_s, d2_s,
+                                  edge_xyz, edge_mask, surf_xyz, surf_mask,
+                                  oc, shard_axis=shard_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +267,26 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
                         num_surf=jnp.asarray(0, jnp.int32),
                         cost=jnp.asarray(0.0, dtype))
 
+    if oc.gather_per_round:
+        def round_fn(pose, _first):
+            return _associate_and_solve(pose, state.map, e_xyz, e_mask,
+                                        s_xyz, s_mask, oc, shard_axis,
+                                        shard_n)
+    else:
+        # gather-once association: ONE margin-inflated candidate gather per
+        # scan at the predicted pose; every round re-ranks those planes at
+        # its updated pose (elementwise only). See OdomConfig.assoc_margin.
+        ev, sv, ce_xyz, ce_mask, cs_xyz, cs_mask = _shard_inputs(
+            state.map, e_xyz, e_mask, s_xyz, s_mask, shard_axis, shard_n)
+        cand_e, d2_e0, cand_s, d2_s0 = _gather_candidates(
+            pred, state.map, ev, sv, ce_xyz, cs_xyz, oc, oc.assoc_margin)
+
+        def round_fn(pose, first):
+            return _solve_from_candidates(
+                pose, cand_e, d2_e0 if first else None,
+                cand_s, d2_s0 if first else None,
+                ce_xyz, ce_mask, cs_xyz, cs_mask, oc, shard_axis=shard_axis)
+
     if oc.adaptive_rounds:
         def cond(carry):
             i, _, _, done = carry
@@ -241,9 +294,7 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
 
         def body(carry):
             i, pose, _, _ = carry
-            pose2, stats = _associate_and_solve(pose, state.map, e_xyz,
-                                                e_mask, s_xyz, s_mask, oc,
-                                                shard_axis, shard_n)
+            pose2, stats = round_fn(pose, False)
             dt_norm = jnp.linalg.norm(pose2.t - pose.t)
             dq = se3.quat_mul(se3.quat_conj(pose.q), pose2.q)
             converged = (dt_norm < oc.converge_transl) & \
@@ -256,9 +307,7 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
     else:
         def outer_body(_, carry):
             pose, _ = carry
-            return _associate_and_solve(pose, state.map, e_xyz, e_mask,
-                                        s_xyz, s_mask, oc, shard_axis,
-                                        shard_n)
+            return round_fn(pose, False)
 
         opt_pose, stats = jax.lax.fori_loop(0, opt_count, outer_body,
                                             (pred, stats0))

@@ -67,9 +67,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .sparse import table_gather, table_scatter_add, table_scatter_set
-from .voxel import cell_key
 
-EMPTY_KEY = jnp.uint32(0xFFFFFFFF)  # cell_key never produces this
+#: way-ownership sentinel. linear_key CAN produce this value for ~1 cell in
+#: 2^32; insert() remaps that key to 0xFFFFFFFE (see _ownership_key), trading
+#: a ~2^-32-per-cell chance of two specific cells merging for a guaranteed
+#: never-ownable-slot bug.
+EMPTY_KEY = jnp.uint32(0xFFFFFFFF)
 SUPER = 2  # default voxels per supercell edge
 NUM_WAYS = SUPER ** 3  # sub-voxel slots per bucket at the default size
 #: odd multipliers for the linear bucket hash
@@ -190,9 +193,16 @@ def _resolve_slots(table_keys: jnp.ndarray, bucket: jnp.ndarray,
     return slot_out, table_keys
 
 
+def _ownership_key(cells: jnp.ndarray) -> jnp.ndarray:
+    """Way-ownership key: the linear key with the EMPTY sentinel remapped
+    (0xFFFFFFFF -> 0xFFFFFFFE) so every live voxel can own a slot."""
+    k = linear_key(cells)
+    return jnp.where(k == EMPTY_KEY, jnp.uint32(0xFFFFFFFE), k)
+
+
 def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
            count_cap: float = 25.0, bucket_base=None,
-           global_buckets: int = 0, probe_rounds: int = 4) -> VoxelHashMap:
+           global_buckets: int = 0, probe_rounds: int = 2) -> VoxelHashMap:
     """Scatter points into their voxels (running mean, weight-capped).
 
     When ``vm`` is a device-local shard of a bucket-range-sharded table,
@@ -204,10 +214,12 @@ def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
     cells = jnp.floor(xyz / vm.leaf).astype(jnp.int32)
     # the full 32-bit linear key doubles as the ownership key: the
     # multipliers are validated (tests/test_voxelmap.py) to have no alias
-    # vector within +-1000 cells, so within any crop-bounded local map the
-    # key is injective and dedup is exact — and it avoids the murmur mix,
-    # whose emulated uint32 multiplies dominate at full-cloud scale
-    mkey = linear_key(cells)
+    # vector within +-1000 cells, so within a crop-bounded local map with
+    # 2*crop_radius/leaf <= 1000 (validated at config time by
+    # odometry.init_state) the key is injective and dedup is exact — and it
+    # avoids the murmur mix, whose emulated uint32 multiplies dominate at
+    # full-cloud scale
+    mkey = _ownership_key(cells)
     parent = cells // vm.super  # floor division (negatives round down)
     pkey = linear_key(parent)
     sub = _subid(cells, vm.super)
@@ -383,12 +395,15 @@ def _query_impl(packed_view, leaf, queries, qmask, deltas, valid, k: int,
 
 
 def query_knn(vm_or_view, queries: jnp.ndarray, qmask: jnp.ndarray,
-              k: int = 5, leaf=None, radius: float = 1.0):
+              k: int = 5, leaf=None, radius: float = 1.0,
+              super: int = None):
     """k nearest voxel centroids within the pruned supercell neighborhood
     (exact within ``radius`` of each query).
 
     Accepts either a VoxelHashMap (packs on the fly — fine for tests) or a
-    pre-packed (view, leaf) pair from pack_query_view (the hot path).
+    pre-packed (view, leaf) pair from pack_query_view — the view path then
+    REQUIRES ``super`` (the supercell size the view was packed with; a
+    mismatched value would compute wrong buckets/sub-ids silently).
     Returns (nn_xyz (Q,k,3), nn_sqdist (Q,k); +inf where invalid).
     """
     if isinstance(vm_or_view, VoxelHashMap):
@@ -398,7 +413,10 @@ def query_knn(vm_or_view, queries: jnp.ndarray, qmask: jnp.ndarray,
     else:
         view = vm_or_view
         assert leaf is not None
-        super = SUPER
+        if super is None:
+            raise TypeError("query_knn(view, ...) requires explicit super=")
+        assert view.shape[1] == 4 * way_block(super ** 3), \
+            f"view width {view.shape[1]} != super={super} layout"
     H = view.shape[0]
     deltas, valid = sub_offset_tables(
         float(np.asarray(leaf)), super, radius, H)
@@ -513,18 +531,38 @@ def query_candidates(packed_view: jnp.ndarray, leaf, queries: jnp.ndarray,
     cx = rows[:, :, 0 * B:1 * B].reshape(Q, O * B)
     cy = rows[:, :, 1 * B:2 * B].reshape(Q, O * B)
     cz = rows[:, :, 2 * B:3 * B].reshape(Q, O * B)
+    if q_valid is not None:
+        # bake the padded-offset mask into the planes themselves (rows
+        # gathered for padded offsets hold real but WRONG-neighborhood
+        # centroids): candidates are then self-contained, so callers can
+        # recompute distances against a MOVED query set (the gather-once
+        # association reuses one gather across all Gauss-Newton rounds)
+        pad = ~jnp.repeat(q_valid, B, axis=-1)
+        far = jnp.asarray(_FAR, dtype)
+        cx = jnp.where(pad, far, cx)
+        cy = jnp.where(pad, far, cy)
+        cz = jnp.where(pad, far, cz)
     dx = cx - queries[:, 0:1]
     dy = cy - queries[:, 1:2]
     dz = cz - queries[:, 2:3]
     d2 = dx * dx + dy * dy + dz * dz
-    if q_valid is not None:
-        pad = ~jnp.repeat(q_valid, B, axis=-1)
-        d2 = jnp.where(pad, jnp.asarray(_FAR * _FAR, dtype), d2)
     # materialize the candidate planes ONCE: the k-NN selection and the
     # masked-moment fits traverse them many times, and without the barrier
     # XLA fuses (= re-executes) the row gather into every pass — measured
     # 2x the whole association cost at the odometry shapes
     return jax.lax.optimization_barrier(((cx, cy, cz), d2))
+
+
+def candidate_d2(cand_soa, queries: jnp.ndarray) -> jnp.ndarray:
+    """Recompute squared distances of gathered candidate planes against an
+    UPDATED query set (pure elementwise; no re-gather). Used by the
+    gather-once association to re-rank candidates after each GN round's
+    pose update."""
+    cx, cy, cz = cand_soa
+    dx = cx - queries[:, 0:1]
+    dy = cy - queries[:, 1:2]
+    dz = cz - queries[:, 2:3]
+    return dx * dx + dy * dy + dz * dz
 
 
 def select_k_mask(d2: jnp.ndarray, k: int):
@@ -567,18 +605,31 @@ def compact(vm: VoxelHashMap, out_capacity: int
     return jnp.stack([ox, oy, oz], axis=-1), mask
 
 
-def compact_points(xyz: jnp.ndarray, mask: jnp.ndarray, out_capacity: int
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Prefix-sum compaction of a masked point set to a smaller capacity."""
+def compact_points(xyz: jnp.ndarray, mask: jnp.ndarray, out_capacity: int,
+                   extras: Tuple[jnp.ndarray, ...] = ()):
+    """Prefix-sum compaction of a masked point set to a smaller capacity
+    (valid points keep their relative order; overflow past the capacity is
+    dropped). ``extras`` are additional per-point planes (e.g. timestamps)
+    compacted with the same permutation. Uses the batch-safe scatter so the
+    sequence-batched path stays in the fast shape class under vmap.
+
+    Returns (xyz (C,3), mask (C,)) or (xyz, mask, extras...) with extras.
+    """
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     tgt = jnp.where(mask & (pos < out_capacity), pos, out_capacity)
     dtype = xyz.dtype
-    ox = jnp.zeros((out_capacity,), dtype).at[tgt].set(xyz[:, 0], mode="drop")
-    oy = jnp.zeros((out_capacity,), dtype).at[tgt].set(xyz[:, 1], mode="drop")
-    oz = jnp.zeros((out_capacity,), dtype).at[tgt].set(xyz[:, 2], mode="drop")
+    zeros = lambda dt: jnp.zeros((out_capacity,), dt)
+    ox = table_scatter_set(zeros(dtype), tgt, xyz[:, 0])
+    oy = table_scatter_set(zeros(dtype), tgt, xyz[:, 1])
+    oz = table_scatter_set(zeros(dtype), tgt, xyz[:, 2])
     n = jnp.minimum(jnp.sum(mask, dtype=jnp.int32), out_capacity)
-    return (jnp.stack([ox, oy, oz], axis=-1),
-            jnp.arange(out_capacity) < n)
+    out_xyz = jnp.stack([ox, oy, oz], axis=-1)
+    out_mask = jnp.arange(out_capacity) < n
+    if not extras:
+        return out_xyz, out_mask
+    out_extras = tuple(table_scatter_set(zeros(e.dtype), tgt, e)
+                       for e in extras)
+    return (out_xyz, out_mask) + out_extras
 
 
 def hash_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf,

@@ -22,7 +22,7 @@ import numpy as np
 from . import odometry
 from .config import FloamConfig
 from .ops import deskew as deskew_ops
-from .ops import features
+from .ops import features, voxelmap
 from .types import OdomState, PointBatch, Pose, RingScan
 
 
@@ -40,34 +40,59 @@ def _center_times(scan: RingScan) -> RingScan:
     return scan._replace(time=t - center)
 
 
+@functools.lru_cache(maxsize=None)
+def _bitrev_perm(n: int) -> Tuple[int, ...]:
+    """Bit-reversal permutation of [0, n) (n a power of two): consecutive
+    prefix lengths of the permuted order are maximally-uniform subsamples."""
+    bits = n.bit_length() - 1
+    return tuple(int(f"{i:0{bits}b}"[::-1], 2) for i in range(n))
+
+
 def _features_from_scan(scan: RingScan, cfg: FloamConfig
                         ) -> Tuple[PointBatch, PointBatch]:
-    """Feature clouds sized for the hot path without any full-scan-scale
-    compaction (see docs/PERFORMANCE.md):
+    """Feature clouds compacted to the association query budgets — the TPU
+    analogue of the reference's scan-side VoxelGrid downsample
+    (downSamplingToMap, src/odomEstimationClass.cpp:137-142). k-NN gather
+    cost is linear in query-slot count (docs/PERFORMANCE.md), so both
+    clouds are prefix-compacted into dense buffers in an order that makes
+    any overflow drop spatially uniform:
 
-    * edges come straight from the greedy selector's per-(ring, sector)
-      slot buffers;
-    * the surf cloud is an azimuthally STRIDED structural subsample of the
-      surf-mask — statistically the same spatial decimation the reference's
-      2x-leaf VoxelGrid performs on the surf cloud
-      (src/odomEstimationClass.cpp:14,140-141), but with zero sparse ops.
-      The map-insert path re-voxelizes anyway, so scan-side decimation only
-      controls the query budget.
+    * edges come from the greedy selector's per-(ring, sector) slot
+      buffers, reordered RANK-major (all sectors' strongest picks first,
+      then every second-strongest, ...) so capacity overflow sheds the
+      weakest edges evenly across sectors;
+    * the surf cloud is an azimuthally strided structural subsample of the
+      surf-mask, reordered by BIT-REVERSED azimuth column so overflow sheds
+      uniformly-spaced azimuth columns.
     """
     scan = _center_times(scan)
     _, surf_mask, e_xyz, e_time, e_valid = features.extract_features_full(
         scan, cfg.features)
-    edge = PointBatch(xyz=e_xyz, mask=e_valid, time=e_time)
+    R = surf_mask.shape[0]
+    S = cfg.features.sectors_per_ring
+    EPS = cfg.features.edges_per_sector
+    RS = R * S
+    # (RS*EPS, ...) slot-major -> (EPS*RS, ...) rank-major
+    e_xyz = e_xyz.reshape(RS, EPS, 3).transpose(1, 0, 2).reshape(-1, 3)
+    e_time = e_time.reshape(RS, EPS).T.reshape(-1)
+    e_valid = e_valid.reshape(RS, EPS).T.reshape(-1)
+    ex, em, et = voxelmap.compact_points(
+        e_xyz, e_valid, cfg.odom.scan_edge_capacity, extras=(e_time,))
+    edge = PointBatch(xyz=ex, mask=em, time=et)
 
-    R, C = surf_mask.shape
-    per_ring = max(1, cfg.odom.scan_surf_capacity // R)
+    C = surf_mask.shape[1]
+    per_ring = max(1, cfg.odom.scan_surf_slots // R)
     stride = max(1, C // per_ring)
-    cols = C // stride
-    surf = PointBatch(
-        xyz=scan.xyz[:, ::stride][:, :cols].reshape(-1, 3),
-        mask=(surf_mask & scan.mask)[:, ::stride][:, :cols].reshape(-1),
-        time=scan.time[:, ::stride][:, :cols].reshape(-1),
-    )
+    cols = 1 << (C // stride).bit_length() - 1  # power-of-two column count
+    perm = jnp.asarray(_bitrev_perm(cols), jnp.int32) * stride
+    # static-index column gather (compile-time constant: fast class), then
+    # column-major flatten so prefix order interleaves azimuth columns
+    s_xyz = scan.xyz[:, perm].transpose(1, 0, 2).reshape(-1, 3)
+    s_mask = (surf_mask & scan.mask)[:, perm].T.reshape(-1)
+    s_time = scan.time[:, perm].T.reshape(-1)
+    sx, sm, st = voxelmap.compact_points(
+        s_xyz, s_mask, cfg.odom.scan_surf_capacity, extras=(s_time,))
+    surf = PointBatch(xyz=sx, mask=sm, time=st)
     return edge, surf
 
 

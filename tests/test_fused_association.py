@@ -24,7 +24,7 @@ def fused_and_explicit(rng, leaf, assoc_kind):
 
     # explicit path
     nn_xyz, nn_d2 = voxelmap.query_knn(view, queries, qmask, k=5,
-                                       leaf=vm.leaf)
+                                       leaf=vm.leaf, super=vm.super)
     # fused path
     cand_soa, d2 = voxelmap.query_candidates(view, vm.leaf, queries,
                                              jnp.asarray(deltas))
