@@ -216,7 +216,11 @@ class ExportConfig:
 
     directory: Optional[str] = None
     output_downsample_size: float = 0.3
-    save_balm: bool = False
+    #: merged + downsampled world map PCDs (SaveMerged — the reference
+    #: writes these unconditionally at shutdown, odomEstimationNode.cpp:375)
+    save_merged: bool = True
+    #: reference node default save_BALM=true (odomEstimationNode.cpp:332)
+    save_balm: bool = True
     save_posegraph: bool = False
     save_odom: bool = False
 

@@ -135,26 +135,48 @@ def save_balm(directory, quats, trans, stamps,
                   cloud[:, 3] if cloud.shape[1] > 3 else None)
 
 
-def save_merged(directory, clouds_world: Sequence[np.ndarray],
+def transform_clouds(clouds: Sequence[np.ndarray], quats, trans
+                     ) -> List[np.ndarray]:
+    """Sensor-frame clouds -> world frame by their per-scan poses."""
+    import jax.numpy as jnp
+
+    from ..ops import se3
+
+    out = []
+    for cloud, q, t in zip(clouds, quats, trans):
+        xyz = jnp.asarray(cloud[:, :3])
+        w = np.asarray(se3.quat_rotate(jnp.asarray(q, xyz.dtype)[None], xyz)
+                       + jnp.asarray(t, xyz.dtype))
+        if cloud.shape[1] > 3:
+            w = np.concatenate([w, cloud[:, 3:]], axis=1)
+        out.append(w)
+    return out
+
+
+def save_merged(directory, clouds: Sequence[np.ndarray], quats, trans,
                 downsample_leaf: float = 0.3) -> None:
-    """Merged full map + voxel-downsampled version
-    (SaveMerged, odomEstimationNode.cpp:66-96)."""
+    """Merged full map + voxel-downsampled version from the per-scan
+    SENSOR-frame clouds and their poses, with the reference's file names
+    (SaveMerged, odomEstimationNode.cpp:66-96: floam_merged.pcd +
+    floam_merged_downsampled_leaf_<size>.pcd)."""
     import jax.numpy as jnp
 
     from ..ops import voxel
 
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
-    if not clouds_world:
+    if not len(clouds):
         return
-    merged = np.concatenate([c[:, :3] for c in clouds_world])
-    write_pcd(directory / "merged.pcd", merged)
+    merged = np.concatenate(
+        [c[:, :3] for c in transform_clouds(clouds, quats, trans)])
+    write_pcd(directory / "floam_merged.pcd", merged)
     cap = max(1024, len(merged))
     out_xyz, out_mask, _ = voxel.voxel_downsample(
         jnp.asarray(merged), jnp.ones(len(merged), bool), downsample_leaf,
         cap)
     ds = np.asarray(out_xyz)[np.asarray(out_mask)]
-    write_pcd(directory / "merged_downsampled.pcd", ds)
+    write_pcd(directory /
+              f"floam_merged_downsampled_leaf_{downsample_leaf:.6f}.pcd", ds)
 
 
 def save_kitti_trajectory(path, quats, trans) -> None:

@@ -96,7 +96,8 @@ def _features_from_scan(scan: RingScan, cfg: FloamConfig
     return edge, surf
 
 
-def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig):
+def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig,
+              return_clouds: bool = False):
     """Feature extraction + scan-to-map registration as one program.
 
     With cfg.odom.deskew, runs the reference's two-phase
@@ -104,10 +105,18 @@ def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig):
     cheap initial registration -> constant-velocity linear deskew of the
     feature clouds (CompensateVelocity, src/dataHandler.cpp:82-92) ->
     full refinement with map update.
+
+    ``return_clouds`` (static) additionally returns the sensor-frame
+    (edge, surf) feature clouds — the cloud the reference accumulates into
+    its exit-time Dump (odomEstimationNode.cpp:284-287) — at zero extra
+    compute.
     """
     edge, surf = _features_from_scan(scan, cfg)
     if not cfg.odom.deskew:
-        return odometry.odom_step_impl(state, edge, surf, cfg)
+        state2, diag = odometry.odom_step_impl(state, edge, surf, cfg)
+        if return_clouds:
+            return state2, diag, (edge, surf)
+        return state2, diag
 
     # initial iteration: register without updating the map. Reference quirk 3
     # passes the edge cloud as both edge and surf (:40); configurable.
@@ -126,8 +135,11 @@ def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig):
     surf_d = deskew_ops.compensate_velocity(surf, vel)
     # refinement: start from the registered pose, no re-prediction
     # (REFINEMENT_AND_UPDATE intent, :63-68), map update keyframe-gated.
-    return odometry.odom_step_impl(state1, edge_d, surf_d, cfg,
-                                   predict=False)
+    state2, diag = odometry.odom_step_impl(state1, edge_d, surf_d, cfg,
+                                           predict=False)
+    if return_clouds:
+        return state2, diag, (edge_d, surf_d)
+    return state2, diag
 
 
 @dataclasses.dataclass
@@ -170,15 +182,24 @@ class Pipeline:
     laserProcessing + odomEstimation nodes, single process, one device)."""
 
     def __init__(self, cfg: FloamConfig, dtype=jnp.float32,
-                 collect_clouds: bool = False):
+                 collect_clouds: bool = False, cloud_flush_every: int = 32):
         self.cfg = cfg
         self.dtype = dtype
         self.state = odometry.init_state(cfg, dtype)
         self._step = jax.jit(
-            functools.partial(full_step, cfg=cfg), donate_argnums=(0,))
+            functools.partial(full_step, cfg=cfg,
+                              return_clouds=collect_clouds),
+            donate_argnums=(0,))
         self.frames: List[FrameRecord] = []
+        #: per-scan SENSOR-frame feature clouds (edge + surf), the exact
+        #: registered cloud — the reference's Dump accumulation
+        #: (odomEstimationNode.cpp:284-287). Device buffers are flushed to
+        #: host numpy every ``cloud_flush_every`` frames so long runs don't
+        #: pin HBM, without any per-frame host sync.
         self.collect_clouds = collect_clouds
-        self.clouds: List[np.ndarray] = []  # filtered feature clouds (world)
+        self.clouds: List[np.ndarray] = []
+        self._pending_clouds: List[Any] = []
+        self._cloud_flush_every = cloud_flush_every
         self._times_ms: List[float] = []
         self._initialized = False
         #: host-side IMU buffer for the rotational-deskew path
@@ -225,8 +246,14 @@ class Pipeline:
             self._initialized = True
             rec = FrameRecord(stamp, jnp.asarray([1.0, 0, 0, 0], self.dtype),
                               jnp.zeros(3, self.dtype), jnp.asarray(True))
+            if self.collect_clouds:
+                self._pending_clouds.append((edge, surf))
         else:
-            self.state, diag = self._step(self.state, scan)
+            if self.collect_clouds:
+                self.state, diag, clouds = self._step(self.state, scan)
+                self._pending_clouds.append(clouds)
+            else:
+                self.state, diag = self._step(self.state, scan)
             # device-backed record: async device copies (the state buffers
             # themselves are donated into the next step), no host sync
             rec = FrameRecord(stamp, self.state.pose.q.copy(),
@@ -234,16 +261,21 @@ class Pipeline:
                               diag.num_edge_factors, diag.num_surf_factors)
         self._times_ms.append((time.perf_counter() - t0) * 1e3)
         self.frames.append(rec)
-        if self.collect_clouds:
-            from .ops import se3
-            edge, surf = _features_from_scan(scan, self.cfg)
-            pts = np.concatenate(
-                [edge.to_numpy_valid(), surf.to_numpy_valid()])
-            q = jnp.asarray(rec.pose_q, self.dtype)
-            t = jnp.asarray(rec.pose_t, self.dtype)
-            self.clouds.append(
-                np.asarray(se3.quat_rotate(q[None], jnp.asarray(pts)) + t))
+        if len(self._pending_clouds) >= self._cloud_flush_every:
+            self._flush_clouds()
         return rec
+
+    def _flush_clouds(self) -> None:
+        """Move pending device cloud buffers to host (valid points only)."""
+        for edge, surf in self._pending_clouds:
+            self.clouds.append(np.concatenate(
+                [edge.to_numpy_valid(), surf.to_numpy_valid()]))
+        self._pending_clouds.clear()
+
+    def sensor_clouds(self) -> List[np.ndarray]:
+        """All per-scan sensor-frame feature clouds collected so far."""
+        self._flush_clouds()
+        return self.clouds
 
     # --- telemetry (the reference logged avg ms/frame + speed,
     #     odomEstimationNode.cpp:226-234) ---

@@ -75,7 +75,12 @@ class SequenceRunner:
                  output_dir: Optional[str] = None,
                  checkpoint_every: int = 0):
         self.cfg = cfg
-        self.pipe = Pipeline(cfg, dtype=dtype)
+        ec = cfg.export
+        # cloud-bearing exports need the per-scan registered feature clouds
+        # (the reference's Dump accumulation, odomEstimationNode.cpp:284-287)
+        collect = bool(output_dir) and (ec.save_balm or ec.save_posegraph
+                                        or ec.save_odom or ec.save_merged)
+        self.pipe = Pipeline(cfg, dtype=dtype, collect_clouds=collect)
         self.global_map = GlobalMap(cfg.mapping) if with_global_map else None
         self.output_dir = Path(output_dir) if output_dir else None
         self.checkpoint_every = checkpoint_every
@@ -133,8 +138,10 @@ class SequenceRunner:
         return result
 
     def export(self, result: RunResult) -> None:
-        """Write the reference's export set (odomEstimationNode.cpp:373-387)
-        plus KITTI/TUM trajectories and a metrics summary."""
+        """Write the reference's FULL export set (odomEstimationNode.cpp:
+        66-121,373-387 and utils.cpp:3-106) plus KITTI/TUM trajectories and
+        a metrics summary. Per-scan clouds are the registered sensor-frame
+        feature clouds collected by the pipeline at zero extra compute."""
         from .io import export as ex
 
         out = self.output_dir
@@ -145,12 +152,27 @@ class SequenceRunner:
         ex.save_frame_info(out / "frame_info.jsonl", self.pipe.frames)
         ex.save_tum_trajectory(out / "trajectory_tum.txt", result.stamps,
                                result.quats, result.trans)
+        clouds = self.pipe.sensor_clouds() if self.pipe.collect_clouds else []
+        n = min(len(clouds), len(result.stamps))
+        if ec.save_merged and n:
+            ex.save_merged(out, clouds[:n], result.quats[:n],
+                           result.trans[:n],
+                           downsample_leaf=ec.output_downsample_size)
         if ec.save_posegraph:
-            ex.save_posegraph(out / "posegraph", result.quats, result.trans,
-                              result.stamps)
+            # keyframe-gated vertices with their clouds (SavePosegraph,
+            # utils.cpp:3-78 — the reference also dumps per-keyframe dirs)
+            kf = [i for i, fr in enumerate(self.pipe.frames[:n])
+                  if fr.is_keyframe] or list(range(n))
+            ex.save_posegraph(out / "posegraph",
+                              result.quats[kf], result.trans[kf],
+                              result.stamps[kf],
+                              clouds=[clouds[i] for i in kf] if n else None)
         if ec.save_balm:
-            ex.save_balm(out / "balm", result.quats, result.trans,
-                         result.stamps, clouds=[])
+            ex.save_balm(out / "balm", result.quats[:n], result.trans[:n],
+                         result.stamps[:n], clouds=clouds[:n])
+        if ec.save_odom and n:
+            ex.save_odom(out / "odom", result.quats[:n], result.trans[:n],
+                         result.stamps[:n], clouds=clouds[:n])
         if self.global_map is not None:
             from .io.pcd import write_pcd
 

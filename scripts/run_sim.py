@@ -17,7 +17,8 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from floam_tpu import sim  # noqa: E402
-from floam_tpu.config import FloamConfig, LidarConfig, OdomConfig  # noqa: E402
+from floam_tpu.config import (ExportConfig, FloamConfig, LidarConfig,  # noqa: E402
+                              OdomConfig)
 from floam_tpu.ops import se3  # noqa: E402
 from floam_tpu.runner import SequenceRunner  # noqa: E402
 
@@ -30,6 +31,8 @@ def main():
                           min_distance=0.5, max_distance=30.0),
         odom=OdomConfig(map_resolution=0.2, scan_edge_capacity=1024, scan_surf_capacity=4096, map_edge_table=8192,
                         map_surf_table=32768, max_outer_iters=6),
+        export=ExportConfig(save_merged=True, save_balm=True,
+                            save_posegraph=True, save_odom=True),
     )
     world = sim.World.room(size=18.0, height=4.0, num_poles=14, seed=1)
     gt = sim.spiral_trajectory(n, step=0.12, yaw_rate=0.03)

@@ -15,7 +15,14 @@ from test_odometry import small_config
 
 @pytest.mark.slow
 def test_runner_end_to_end(tmp_path):
-    cfg = small_config()
+    import dataclasses
+
+    from floam_tpu.config import ExportConfig
+
+    cfg = dataclasses.replace(
+        small_config(),
+        export=ExportConfig(save_merged=True, save_balm=True,
+                            save_posegraph=True, save_odom=True))
     world = sim.World.room(size=18.0, height=4.0, num_poles=14, seed=1)
     gt = sim.spiral_trajectory(8, step=0.12, yaw_rate=0.03)
 
@@ -45,12 +52,40 @@ def test_runner_end_to_end(tmp_path):
                             checkpoint_every=4)
     result = runner.run(gen(), gt=(rel_q, rel_t))
     assert result.ate is not None and result.ate < 0.05
-    assert (tmp_path / "out" / "trajectory_kitti.txt").exists()
-    assert (tmp_path / "out" / "trajectory_tum.txt").exists()
-    assert (tmp_path / "out" / "checkpoint.npz").exists()
-    summary = json.loads((tmp_path / "out" / "summary.json").read_text())
+    out = tmp_path / "out"
+    assert (out / "trajectory_kitti.txt").exists()
+    assert (out / "trajectory_tum.txt").exists()
+    assert (out / "checkpoint.npz").exists()
+    summary = json.loads((out / "summary.json").read_text())
     assert summary["frames"] == 8
     assert summary["scans_per_sec"] > 0
+
+    # the reference's full cloud-bearing export set
+    # (odomEstimationNode.cpp:66-121,373-387, utils.cpp:3-106)
+    assert (out / "floam_merged.pcd").exists()
+    assert any(out.glob("floam_merged_downsampled_leaf_*.pcd"))
+    assert (out / "balm" / "alidarPose.csv").exists()
+    balm_rows = (out / "balm" / "alidarPose.csv").read_text().strip()
+    assert len(balm_rows.splitlines()) == 4 * 8  # 4 rows per frame
+    for i in range(8):
+        assert (out / "balm" / f"full{i}.pcd").exists()
+    odom_pcds = list((out / "odom").glob("*.pcd"))
+    odom_mats = list((out / "odom").glob("*.odom"))
+    assert len(odom_pcds) == 8 and len(odom_mats) == 8
+    assert (np.loadtxt(odom_mats[0]).shape == (4, 4))
+    assert (out / "posegraph" / "graph.g2o").exists()
+    kf_dirs = [d for d in (out / "posegraph").iterdir() if d.is_dir()]
+    assert kf_dirs, "posegraph must contain keyframe cloud dirs"
+    for d in kf_dirs:
+        assert (d / "cloud.pcd").exists() and (d / "data").exists()
+        data = (d / "data").read_text()
+        assert "stamp" in data and "estimate" in data and "id" in data
+    # merged cloud must actually contain points near the simulated walls
+    from floam_tpu.io.pcd import read_pcd
+
+    merged, _ = read_pcd(out / "floam_merged.pcd")
+    assert len(merged) > 1000
+    assert np.abs(merged[:, :2]).max() > 5.0  # reaches the room walls
 
 
 def test_checkpoint_roundtrip(tmp_path, rng):
