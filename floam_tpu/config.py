@@ -211,6 +211,27 @@ class DeskewConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """In-loop windowed bundle adjustment over recent keyframes — the
+    in-framework replacement for the reference's exit-time handoff to
+    g2o/BALM back-ends (src/utils.cpp:3-78, odomEstimationNode.cpp:373-387;
+    its own keyframe history is write-only — quirk 9). Refined poses feed
+    the exported trajectory/posegraph; the live front-end state is not
+    perturbed (matching the reference's front-end/back-end split)."""
+
+    enabled: bool = True
+    #: keyframes per window
+    window: int = 8
+    #: run BA every N new keyframes (once the window is full)
+    every: int = 4
+    #: GN iterations per window solve
+    iters: int = 4
+    #: weight on the odometry chain priors (vs unit-weight feature factors)
+    prior_weight: float = 100.0
+    damping: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
 class ExportConfig:
     """Trajectory/map export (reference: src/utils.cpp, odomEstimationNode.cpp:373-387)."""
 
@@ -234,6 +255,7 @@ class FloamConfig:
     odom: OdomConfig = dataclasses.field(default_factory=OdomConfig)
     mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
     deskew: DeskewConfig = dataclasses.field(default_factory=DeskewConfig)
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
     export: ExportConfig = dataclasses.field(default_factory=ExportConfig)
 
     def replace(self, **kw) -> "FloamConfig":

@@ -136,17 +136,99 @@ def ba_refine(p: BAProblem, cfg: OdomConfig, iters: int = 4,
     K = p.quats.shape[0]
     dtype = p.trans.dtype
 
+    # gauge prior magnitude: large enough to pin pose 0, small enough to
+    # keep the normal matrix solvable in the working precision
+    gauge = 1e12 if dtype == jnp.float64 else 1e6
+
     def body(_, prob):
         H, b = ba_normal_equations(prob, cfg, axis)
         H = H + damping * jnp.eye(6 * K, dtype=dtype)
         if fix_first:
             # gauge fix: huge prior on delta_0 = 0
-            H = H.at[:6, :6].add(1e12 * jnp.eye(6, dtype=dtype))
+            H = H.at[:6, :6].add(gauge * jnp.eye(6, dtype=dtype))
         delta = -jnp.linalg.solve(H, b).reshape(K, 6)
         q2, t2 = jax.vmap(se3.pose_retract_right)(prob.quats, prob.trans, delta)
         return prob._replace(quats=q2, trans=t2)
 
     return jax.lax.fori_loop(0, iters, body, p)
+
+
+def build_window_problem(map_state, e_xyz, e_mask, s_xyz, s_mask,
+                         quats, trans, oc: OdomConfig,
+                         prior_weight: float = 1e2) -> BAProblem:
+    """Snapshot a K-keyframe BA window from stored sensor-frame feature
+    clouds: associate every keyframe's cloud against the CURRENT local map
+    (frozen world geometry) at its current pose estimate, exactly as the
+    odometry hot path does, and chain consecutive odometry relative poses
+    as priors. The in-framework replacement for handing clouds+poses to
+    BALM/g2o (src/utils.cpp:3-78).
+
+    Shapes: e_xyz (K, Qe, 3), s_xyz (K, Qs, 3), quats (K, 4), trans (K, 3).
+    The window's queries are FLATTENED into one (K*Q) association so the
+    shared map view is gathered once (vmapping would broadcast the packed
+    view per lane)."""
+    from .. import odometry
+    from ..ops import voxelmap
+
+    K, Qe, _ = e_xyz.shape
+    Qs = s_xyz.shape[1]
+    k = oc.k_neighbors
+
+    pw_e = jax.vmap(lambda q, t, p: se3.quat_rotate(q[None], p) + t)(
+        quats, trans, e_xyz).reshape(K * Qe, 3)
+    pw_s = jax.vmap(lambda q, t, p: se3.quat_rotate(q[None], p) + t)(
+        quats, trans, s_xyz).reshape(K * Qs, 3)
+
+    radius = float(oc.nn_radius_sq) ** 0.5
+    e_deltas, e_valid = odometry._search_offsets(
+        odometry._edge_leaf(oc), radius, oc.map_edge_table,
+        oc.map_edge_super)
+    s_deltas, s_valid = odometry._search_offsets(
+        odometry._surf_leaf(oc), radius, oc.map_surf_table,
+        oc.map_surf_super)
+
+    cand_e, d2_e = voxelmap.query_candidates(
+        map_state.edge_view, map_state.edge.leaf, pw_e,
+        jnp.asarray(e_deltas), jnp.asarray(e_valid), oc.map_edge_super)
+    kth_e, win_e = voxelmap.select_k_mask(d2_e, k)
+    ef = R.edge_association_fused(
+        e_xyz.reshape(K * Qe, 3), pw_e, cand_e, win_e, kth_e, k,
+        oc.nn_radius_sq, oc.edge_eig_ratio, oc.line_half_length)
+    ef = ef._replace(valid=ef.valid & e_mask.reshape(-1))
+
+    cand_s, d2_s = voxelmap.query_candidates(
+        map_state.surf_view, map_state.surf.leaf, pw_s,
+        jnp.asarray(s_deltas), jnp.asarray(s_valid), oc.map_surf_super)
+    kth_s, win_s = voxelmap.select_k_mask(d2_s, k)
+    sf = R.surf_association_fused(
+        s_xyz.reshape(K * Qs, 3), pw_s, cand_s, win_s, kth_s, k,
+        oc.nn_radius_sq, oc.plane_fit_tol)
+    sf = sf._replace(valid=sf.valid & s_mask.reshape(-1))
+
+    edge = R.EdgeFactors(*[v.reshape((K, Qe) + v.shape[1:]) for v in ef])
+    surf = R.SurfFactors(*[v.reshape((K, Qs) + v.shape[1:]) for v in sf])
+
+    # odometry chain priors between consecutive keyframes
+    def rel(k_):
+        qi, ti = se3.pose_inverse(quats[k_], trans[k_])
+        return se3.pose_compose(qi, ti, quats[k_ + 1], trans[k_ + 1])
+
+    dq, dt = jax.vmap(rel)(jnp.arange(K - 1))
+    return BAProblem(quats=quats, trans=trans, edge=edge, surf=surf,
+                     prior_dq=dq, prior_dt=dt,
+                     prior_weight=jnp.asarray(prior_weight, trans.dtype))
+
+
+def window_ba_from_clouds(map_state, e_xyz, e_mask, s_xyz, s_mask,
+                          quats, trans, oc: OdomConfig, iters: int = 4,
+                          prior_weight: float = 1e2, damping: float = 1e-6,
+                          axis: Optional[str] = None):
+    """Build + refine a keyframe window in one jittable program; returns
+    the refined (quats (K,4), trans (K,3))."""
+    prob = build_window_problem(map_state, e_xyz, e_mask, s_xyz, s_mask,
+                                quats, trans, oc, prior_weight)
+    out = ba_refine(prob, oc, iters=iters, damping=damping, axis=axis)
+    return out.quats, out.trans
 
 
 def make_sharded_ba_step(mesh: Mesh, cfg: OdomConfig, iters: int = 4,

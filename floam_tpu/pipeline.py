@@ -198,6 +198,8 @@ class Pipeline:
         #: pin HBM, without any per-frame host sync.
         self.collect_clouds = collect_clouds
         self.clouds: List[np.ndarray] = []
+        #: most recent (edge, surf) device feature clouds (windowed-BA feed)
+        self.last_clouds: Optional[Tuple[PointBatch, PointBatch]] = None
         self._pending_clouds: List[Any] = []
         self._cloud_flush_every = cloud_flush_every
         self._times_ms: List[float] = []
@@ -248,10 +250,12 @@ class Pipeline:
                               jnp.zeros(3, self.dtype), jnp.asarray(True))
             if self.collect_clouds:
                 self._pending_clouds.append((edge, surf))
+                self.last_clouds = (edge, surf)
         else:
             if self.collect_clouds:
                 self.state, diag, clouds = self._step(self.state, scan)
                 self._pending_clouds.append(clouds)
+                self.last_clouds = clouds
             else:
                 self.state, diag = self._step(self.state, scan)
             # device-backed record: async device copies (the state buffers

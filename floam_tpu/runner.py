@@ -62,9 +62,11 @@ def _watchdog_iter(source: Iterable, timeout_s: float) -> Iterator:
 @dataclasses.dataclass
 class RunResult:
     stamps: np.ndarray
-    quats: np.ndarray  # (N, 4) wxyz
+    quats: np.ndarray  # (N, 4) wxyz — BA-refined when cfg.ba.enabled
     trans: np.ndarray  # (N, 3)
     ate: Optional[float] = None
+    #: ATE of the raw odometry trajectory (only set when BA ran)
+    ate_odom: Optional[float] = None
     drift_pct: Optional[float] = None
     scans_per_sec: float = 0.0
 
@@ -76,15 +78,25 @@ class SequenceRunner:
                  checkpoint_every: int = 0):
         self.cfg = cfg
         ec = cfg.export
-        # cloud-bearing exports need the per-scan registered feature clouds
-        # (the reference's Dump accumulation, odomEstimationNode.cpp:284-287)
-        collect = bool(output_dir) and (ec.save_balm or ec.save_posegraph
-                                        or ec.save_odom or ec.save_merged)
+        # cloud-bearing exports and windowed BA need the per-scan registered
+        # feature clouds (the reference's Dump accumulation,
+        # odomEstimationNode.cpp:284-287)
+        collect = (bool(output_dir) and (ec.save_balm or ec.save_posegraph
+                                         or ec.save_odom or ec.save_merged)
+                   ) or cfg.ba.enabled
         self.pipe = Pipeline(cfg, dtype=dtype, collect_clouds=collect)
         self.global_map = GlobalMap(cfg.mapping) if with_global_map else None
         self.output_dir = Path(output_dir) if output_dir else None
         self.checkpoint_every = checkpoint_every
         self.meter = RateMeter()
+        # --- in-loop windowed BA (cfg.ba): sliding keyframe window whose
+        # refined poses feed the EXPORTED trajectory/posegraph; the live
+        # front-end state is untouched (reference front-end/back-end split,
+        # utils.cpp:3-78) ---
+        self._kf_window: list = []  # [(frame_idx, edge PointBatch, surf)]
+        self._kf_since_ba = 0
+        self._ba_poses: dict = {}  # frame_idx -> (q_refined, t_refined) np
+        self._ba_fn = None
 
     def run(self, scans: Iterable[Tuple[float, RingScan]],
             gt: Optional[Tuple[np.ndarray, np.ndarray]] = None,
@@ -101,13 +113,16 @@ class SequenceRunner:
         for stamp, scan in scans:
             with self.meter.frame():
                 rec = self.pipe.process(scan, stamp)
-                if self.global_map is not None and rec.is_keyframe:
-                    xyz = np.asarray(scan.xyz).reshape(-1, 3)
-                    mask = np.asarray(scan.mask).reshape(-1)
-                    pose = Pose(q=jnp.asarray(rec.pose_q, jnp.float32),
-                                t=jnp.asarray(rec.pose_t, jnp.float32))
-                    self.global_map.update(jnp.asarray(xyz), pose,
-                                           mask=jnp.asarray(mask))
+                if rec.is_keyframe:
+                    if self.global_map is not None:
+                        xyz = np.asarray(scan.xyz).reshape(-1, 3)
+                        mask = np.asarray(scan.mask).reshape(-1)
+                        pose = Pose(q=jnp.asarray(rec.pose_q, jnp.float32),
+                                    t=jnp.asarray(rec.pose_t, jnp.float32))
+                        self.global_map.update(jnp.asarray(xyz), pose,
+                                               mask=jnp.asarray(mask))
+                    if self.cfg.ba.enabled:
+                        self._on_keyframe(n)
             n += 1
             if progress_every and n % progress_every == 0:
                 s = self.meter.summary()
@@ -124,18 +139,94 @@ class SequenceRunner:
         result = RunResult(stamps=st, quats=qs, trans=ts,
                            scans_per_sec=self.meter.summary().get(
                                "scans_per_sec", 0.0))
+        if self._ba_poses:
+            result.quats, result.trans = self._apply_ba(qs, ts)
         if gt is not None:
             from . import metrics
 
             gt_q, gt_t = gt
             m = min(len(gt_t), len(ts))
-            result.ate, _ = metrics.ate(ts[:m], gt_t[:m])
-            drift, _ = metrics.kitti_drift(qs[:m], ts[:m], gt_q[:m],
+            result.ate, _ = metrics.ate(result.trans[:m], gt_t[:m])
+            drift, _ = metrics.kitti_drift(result.quats[:m],
+                                           result.trans[:m], gt_q[:m],
                                            gt_t[:m])
             result.drift_pct = drift * 100.0 if np.isfinite(drift) else None
+            if self._ba_poses:
+                result.ate_odom, _ = metrics.ate(ts[:m], gt_t[:m])
         if self.output_dir:
             self.export(result)
         return result
+
+    # ------------------------------------------------------------------
+    # Windowed BA (cfg.ba)
+    # ------------------------------------------------------------------
+
+    def _on_keyframe(self, frame_idx: int) -> None:
+        """Track the keyframe window; run BA every cfg.ba.every keyframes
+        once the window is full."""
+        bc = self.cfg.ba
+        if self.pipe.last_clouds is None:
+            return
+        edge, surf = self.pipe.last_clouds
+        self._kf_window.append((frame_idx, edge, surf))
+        if len(self._kf_window) > bc.window:
+            self._kf_window.pop(0)
+        self._kf_since_ba += 1
+        if len(self._kf_window) == bc.window and \
+                self._kf_since_ba >= bc.every:
+            self._run_ba()
+            self._kf_since_ba = 0
+
+    def _run_ba(self) -> None:
+        import functools
+
+        import jax
+
+        from .parallel.windowed_ba import window_ba_from_clouds
+
+        bc = self.cfg.ba
+        if self._ba_fn is None:
+            self._ba_fn = jax.jit(functools.partial(
+                window_ba_from_clouds, oc=self.cfg.odom, iters=bc.iters,
+                prior_weight=bc.prior_weight, damping=bc.damping))
+        idxs = [i for i, _, _ in self._kf_window]
+        e_xyz = jnp.stack([e.xyz for _, e, _ in self._kf_window])
+        e_mask = jnp.stack([e.mask for _, e, _ in self._kf_window])
+        s_xyz = jnp.stack([s.xyz for _, _, s in self._kf_window])
+        s_mask = jnp.stack([s.mask for _, _, s in self._kf_window])
+        quats = jnp.stack([self.pipe.frames[i]._q for i in idxs])
+        trans = jnp.stack([self.pipe.frames[i]._t for i in idxs])
+        q2, t2 = self._ba_fn(self.pipe.state.map, e_xyz, e_mask, s_xyz,
+                             s_mask, quats, trans)
+        q2 = np.asarray(q2)
+        t2 = np.asarray(t2)
+        for j, i in enumerate(idxs):
+            self._ba_poses[i] = (q2[j], t2[j])
+
+    def _apply_ba(self, quats: np.ndarray, trans: np.ndarray):
+        """Correct the full trajectory with the refined keyframe poses:
+        every frame after keyframe k moves by the world-frame delta
+        refined_k o inv(odom_k) until the next refined keyframe."""
+        from .ops import se3
+
+        qs = quats.copy()
+        ts = trans.copy()
+        dq = np.array([1.0, 0, 0, 0])
+        dt = np.zeros(3)
+        for i in range(len(qs)):
+            if i in self._ba_poses:
+                rq, rt = self._ba_poses[i]
+                iq, it = se3.pose_inverse(jnp.asarray(quats[i]),
+                                          jnp.asarray(trans[i]))
+                dq_j, dt_j = se3.pose_compose(jnp.asarray(rq),
+                                              jnp.asarray(rt), iq, it)
+                dq, dt = np.asarray(dq_j), np.asarray(dt_j)
+            q_c, t_c = se3.pose_compose(jnp.asarray(dq), jnp.asarray(dt),
+                                        jnp.asarray(qs[i]),
+                                        jnp.asarray(ts[i]))
+            qs[i] = np.asarray(q_c)
+            ts[i] = np.asarray(t_c)
+        return qs, ts
 
     def export(self, result: RunResult) -> None:
         """Write the reference's FULL export set (odomEstimationNode.cpp:
@@ -184,6 +275,8 @@ class SequenceRunner:
             "frames": int(len(result.stamps)),
             "scans_per_sec": result.scans_per_sec,
             "ate_m": result.ate,
+            "ate_odom_m": result.ate_odom,
+            "ba_windows": len(self._ba_poses),
             "drift_pct": result.drift_pct,
         }
         (out / "summary.json").write_text(json.dumps(summary, indent=2))
