@@ -130,13 +130,6 @@ class OdomConfig:
     #: moral equivalent, and the dominant cost on TPU.
     gather_per_round: bool = False
     assoc_margin: float = 0.25
-    #: NN grid cell size (must be >= sqrt(nn_radius_sq) so that a 3^3
-    #: neighborhood covers the search radius) — used by the generic sorted
-    #: -grid search in ops.knn; the odometry hot path uses the voxel hash
-    #: table (ops.voxelmap) whose cell == the map voxel leaf
-    grid_cell_size: float = 1.0
-    #: max candidates gathered per grid cell (ops.knn path)
-    grid_cell_capacity: int = 16
     #: cap on per-voxel running-mean weight in the hash map (bounds how
     #: slowly a voxel centroid adapts; the reference re-averages the whole
     #: map every keyframe instead)

@@ -41,10 +41,8 @@ def _bin_points(xyz, intensity, mask, pose_q, pose_t, cell_size: float):
     return world, inten, block
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def _revoxelize_block(xyz, mask, leaf, capacity: int):
-    out_xyz, out_mask, _ = voxel.voxel_downsample(xyz, mask, leaf, capacity)
-    return out_xyz, out_mask
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length()
 
 
 class GlobalMap:
@@ -85,25 +83,45 @@ class GlobalMap:
         self._revoxelize_neighborhood(pose)
 
     def _revoxelize_neighborhood(self, pose: Pose) -> None:
-        """Re-downsample the (2r+1)^3 blocks around the pose (:175-184)."""
+        """Re-downsample the (2r+1)^3 blocks around the pose (:175-184),
+        plus any block anywhere whose raw size outgrew ``block_capacity``
+        (bounds far-from-pose growth between visits; the reference only
+        ever re-filters near the pose and grows far cells unboundedly).
+
+        LOSSLESS: each block is padded to a power-of-two capacity >= its
+        raw length, so no point is dropped before downsampling — matching
+        the reference's per-cell re-voxelization (laserMappingClass.cpp:
+        175-184). Blocks are grouped by padded capacity so the vmapped
+        device program compiles only for log-many shapes.
+        """
         r = self.cfg.neighbor_range
         c = np.floor(np.asarray(pose.t) / self.cfg.cell_size + 0.5).astype(int)
-        todo = []
+        todo = set()
         for dx in range(-r, r + 1):
             for dy in range(-r, r + 1):
                 for dz in range(-r, r + 1):
                     key = (c[0] + dx, c[1] + dy, c[2] + dz)
                     if key in self.blocks and len(self.blocks[key]) > 0:
-                        todo.append(key)
+                        todo.add(key)
+        cap0 = self.cfg.block_capacity
+        todo.update(k for k, v in self.blocks.items() if len(v) > cap0)
         if not todo:
             return
-        cap = self.cfg.block_capacity
-        B = len(todo)
+        groups: Dict[int, list] = {}
+        min_cap = min(cap0, 16384)
+        for key in todo:
+            cap = _next_pow2(max(len(self.blocks[key]), min_cap))
+            groups.setdefault(cap, []).append(key)
+        for cap, keys in sorted(groups.items()):
+            self._revoxelize_group(keys, cap)
+
+    def _revoxelize_group(self, keys: list, cap: int) -> None:
+        B = _next_pow2(len(keys))
         stack = np.zeros((B, cap, 3), np.float32)
         inten = np.zeros((B, cap), np.float32)
         mask = np.zeros((B, cap), bool)
-        for i, key in enumerate(todo):
-            pts = self.blocks[key][:cap]
+        for i, key in enumerate(keys):
+            pts = self.blocks[key]
             stack[i, :len(pts)] = pts[:, :3]
             inten[i, :len(pts)] = pts[:, 3]
             mask[i, :len(pts)] = True
@@ -115,7 +133,7 @@ class GlobalMap:
         out_xyz = np.asarray(out_xyz)
         out_mask = np.asarray(out_mask)
         out_extra = np.asarray(out_extra)
-        for i, key in enumerate(todo):
+        for i, key in enumerate(keys):
             m = out_mask[i]
             self.blocks[key] = np.concatenate(
                 [out_xyz[i][m], out_extra[i][m]], axis=1).astype(np.float32)
@@ -134,3 +152,27 @@ class GlobalMap:
     @property
     def num_points(self) -> int:
         return sum(len(v) for v in self.blocks.values())
+
+    # -- checkpoint/resume (the reference has no mid-run persistence) -----
+    def to_arrays(self) -> Dict[str, np.ndarray]:
+        """Serialize the block store to flat arrays (npz-friendly)."""
+        if not self.blocks:
+            return {"keys": np.zeros((0, 3), np.int64),
+                    "offsets": np.zeros((1,), np.int64),
+                    "points": np.zeros((0, 4), np.float32)}
+        items = sorted(self.blocks.items())
+        keys = np.asarray([k for k, _ in items], np.int64)
+        lens = np.asarray([len(v) for _, v in items], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        points = np.concatenate([v for _, v in items]).astype(np.float32)
+        return {"keys": keys, "offsets": offsets, "points": points}
+
+    def load_arrays(self, keys: np.ndarray, offsets: np.ndarray,
+                    points: np.ndarray) -> None:
+        """Restore the block store saved by :meth:`to_arrays` (replaces any
+        current contents; the round trip is bit-exact)."""
+        self.blocks = {
+            tuple(int(c) for c in keys[i]):
+                np.asarray(points[offsets[i]:offsets[i + 1]], np.float32)
+            for i in range(len(keys))
+        }

@@ -88,7 +88,7 @@ def kitti_drift(est_q, est_t, gt_q, gt_t,
         np.linalg.norm(np.diff(np.asarray(gt_t), axis=0), axis=1))])
 
     t_errs, r_errs = [], []
-    step = max(1, len(E) // 200)  # subsample start frames like devkit (10)
+    step = 10  # devkit rule: every 10th frame is a segment start
     for first in range(0, len(E), step):
         for L in lengths:
             last = np.searchsorted(dist, dist[first] + L)

@@ -33,8 +33,9 @@ variable that matters, which drives the central layout decision:
   * bucket selection uses a LINEAR hash (k = ux*A + uy*B + uz*C mod 2^32)
     of the SUPERCELL index: per query only the base supercell is hashed
     and each neighbor offset adds a precomputed delta — no integer-multiply
-    tensors at (Q, O) scale. Way ownership uses the linear key of the
-    VOXEL cell, validated alias-free over the live map range;
+    tensors at (Q, O) scale. Way ownership uses a SECOND linear key of the
+    VOXEL cell over independent multipliers, so a false ownership match
+    requires a joint alias across both lattices (see _OA/_OB/_OC);
   * inserts need no way-claim scan in the common case: a voxel's natural
     slot is its sub-voxel id within the supercell. Only bucket-aliased
     cells landing on the same (bucket, subid) probe the next ways
@@ -79,6 +80,16 @@ NUM_WAYS = SUPER ** 3  # sub-voxel slots per bucket at the default size
 _LA = np.uint32(0x9E3779B1)
 _LB = np.uint32(0x85EBCA77)
 _LC = np.uint32(0xC2B2AE3D)
+#: INDEPENDENT odd multipliers for the way-OWNERSHIP key. Keeping the
+#: ownership lattice independent of the bucket lattice means a silent
+#: centroid merge requires a JOINT event — an ownership-key alias (none
+#: within +-1188 cells; tests/test_voxelmap.py) AND bucket congruence of
+#: the bucket-key (density 1/num_buckets) — so exact dedup needs no hard
+#: map-extent limit: even the finest preset (leaf 0.1, crop +-100 m =
+#: +-2000 live cells) sees an expected << 1e-4 aliased live pairs.
+_OA = np.uint32(0xF1E54A8B)
+_OB = np.uint32(0xA00641A9)
+_OC = np.uint32(0xAF266A95)
 #: coordinate of empty ways in the packed view (far from any query)
 _FAR = 1e9
 
@@ -194,9 +205,11 @@ def _resolve_slots(table_keys: jnp.ndarray, bucket: jnp.ndarray,
 
 
 def _ownership_key(cells: jnp.ndarray) -> jnp.ndarray:
-    """Way-ownership key: the linear key with the EMPTY sentinel remapped
+    """Way-ownership key: a second linear hash over INDEPENDENT multipliers
+    (see _OA/_OB/_OC), with the EMPTY sentinel remapped
     (0xFFFFFFFF -> 0xFFFFFFFE) so every live voxel can own a slot."""
-    k = linear_key(cells)
+    u = cells.astype(jnp.uint32)
+    k = u[..., 0] * _OA + u[..., 1] * _OB + u[..., 2] * _OC
     return jnp.where(k == EMPTY_KEY, jnp.uint32(0xFFFFFFFE), k)
 
 
@@ -212,13 +225,14 @@ def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
     """
     H = vm.num_buckets
     cells = jnp.floor(xyz / vm.leaf).astype(jnp.int32)
-    # the full 32-bit linear key doubles as the ownership key: the
-    # multipliers are validated (tests/test_voxelmap.py) to have no alias
-    # vector within +-1000 cells, so within a crop-bounded local map with
-    # 2*crop_radius/leaf <= 1000 (validated at config time by
-    # odometry.init_state) the key is injective and dedup is exact — and it
-    # avoids the murmur mix, whose emulated uint32 multiplies dominate at
-    # full-cloud scale
+    # ownership uses a SECOND linear key over independent multipliers
+    # (validated alias-free within +-1188 cells, tests/test_voxelmap.py):
+    # within that range dedup is exactly injective, and beyond it a silent
+    # merge additionally requires bucket congruence of the (independent)
+    # bucket key — a joint event with expected count << 1e-4 live pairs even
+    # for the finest preset (leaf 0.1 at +-100 m crop = +-2000 live cells).
+    # Linear keys avoid the murmur mix, whose emulated uint32 multiplies
+    # dominate at full-cloud scale
     mkey = _ownership_key(cells)
     parent = cells // vm.super  # floor division (negatives round down)
     pkey = linear_key(parent)

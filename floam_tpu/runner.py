@@ -132,8 +132,11 @@ class SequenceRunner:
             if (self.checkpoint_every and self.output_dir
                     and n % self.checkpoint_every == 0):
                 st, qs, ts = self.pipe.trajectory()
+                kf = np.asarray([f.is_keyframe for f in self.pipe.frames])
                 save_checkpoint(self.output_dir / "checkpoint.npz",
-                                self.pipe.state, st, qs, ts)
+                                self.pipe.state, st, qs, ts,
+                                global_map=self.global_map, kf_flags=kf,
+                                imu=self.pipe.imu)
 
         st, qs, ts = self.pipe.trajectory()
         result = RunResult(stamps=st, quats=qs, trans=ts,

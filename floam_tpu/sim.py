@@ -20,12 +20,14 @@ from .types import RingScan
 
 @dataclasses.dataclass(frozen=True)
 class Plane:
-    """Bounded plane n.x + c = 0, kept where |proj - center| <= half_extent."""
+    """Bounded plane n.x + c = 0, kept where |proj - center| <= half_extent
+    (scalar: cube bound; (3,) vector: per-axis bound — used for building
+    walls/roofs, which are rectangles, not squares)."""
 
     normal: np.ndarray  # (3,)
     c: float
     center: np.ndarray  # (3,)
-    half_extent: float
+    half_extent: np.ndarray  # float or (3,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +67,64 @@ class World:
         ]
         return World(planes=planes, cylinders=cylinders)
 
+    @staticmethod
+    def outdoor(extent: float = 200.0, num_buildings: int = 24,
+                num_poles: int = 36, path_radius: float = 40.0,
+                clearance: float = 8.0, seed: int = 0) -> "World":
+        """Outdoor-scale scene: ground plane, building-like boxes (4 walls +
+        roof each) scattered inside and outside a circular corridor of
+        ``path_radius`` (kept clear for the trajectory), and pole rows along
+        the corridor — the large-extent analogue of a KITTI street loop for
+        long-horizon drift evaluation."""
+        rng = np.random.default_rng(seed)
+        half = extent / 2.0
+        planes = [Plane(np.array([0.0, 0, 1]), 0.0, np.zeros(3), extent)]
+        placed = 0
+        attempts = 0
+        while placed < num_buildings and attempts < num_buildings * 40:
+            attempts += 1
+            wx = float(rng.uniform(4.0, 14.0))   # half-widths
+            wy = float(rng.uniform(4.0, 14.0))
+            h = float(rng.uniform(6.0, 22.0))
+            cx = float(rng.uniform(-half * 0.85, half * 0.85))
+            cy = float(rng.uniform(-half * 0.85, half * 0.85))
+            # keep the circular corridor clear: building corner closest to
+            # the ring must stay `clearance` away from the path circle
+            r_near = np.hypot(max(abs(cx) - wx, 0.0), max(abs(cy) - wy, 0.0))
+            r_far = np.hypot(abs(cx) + wx, abs(cy) + wy)
+            if r_near < path_radius + clearance and \
+                    r_far > path_radius - clearance:
+                continue
+            planes.extend(_box_planes(cx, cy, wx, wy, h))
+            placed += 1
+        cylinders = []
+        for i in range(num_poles):
+            ang = 2 * np.pi * i / num_poles + rng.uniform(-0.05, 0.05)
+            r = path_radius + rng.choice([-4.0, 4.0]) + rng.uniform(-1, 1)
+            cylinders.append(Cylinder(
+                float(r * np.cos(ang)), float(r * np.sin(ang)),
+                float(rng.uniform(0.08, 0.25)), 0.0,
+                float(rng.uniform(3.0, 7.0))))
+        return World(planes=planes, cylinders=cylinders)
+
+
+def _box_planes(cx: float, cy: float, wx: float, wy: float,
+                h: float) -> List[Plane]:
+    """Axis-aligned building box: 4 rectangular walls + flat roof."""
+    zc, hz = h / 2.0, h / 2.0
+    return [
+        Plane(np.array([1.0, 0, 0]), -(cx + wx),
+              np.array([cx + wx, cy, zc]), np.array([0.01, wy, hz])),
+        Plane(np.array([1.0, 0, 0]), -(cx - wx),
+              np.array([cx - wx, cy, zc]), np.array([0.01, wy, hz])),
+        Plane(np.array([0.0, 1, 0]), -(cy + wy),
+              np.array([cx, cy + wy, zc]), np.array([wx, 0.01, hz])),
+        Plane(np.array([0.0, 1, 0]), -(cy - wy),
+              np.array([cx, cy - wy, zc]), np.array([wx, 0.01, hz])),
+        Plane(np.array([0.0, 0, 1]), -h,
+              np.array([cx, cy, h]), np.array([wx, wy, 0.01])),
+    ]
+
 
 def raycast(world: World, origins: np.ndarray, dirs: np.ndarray,
             max_range: float) -> np.ndarray:
@@ -76,8 +136,8 @@ def raycast(world: World, origins: np.ndarray, dirs: np.ndarray,
         t = -(origins @ pl.normal + pl.c) / np.where(np.abs(denom) < 1e-12,
                                                      np.inf, denom)
         hit = origins + t[:, None] * dirs
-        ok = (t > 1e-6) & (np.max(np.abs(hit - pl.center), axis=1)
-                           <= pl.half_extent)
+        he = np.broadcast_to(np.asarray(pl.half_extent, np.float64), (3,))
+        ok = (t > 1e-6) & np.all(np.abs(hit - pl.center) <= he, axis=1)
         best = np.where(ok & (t < best), t, best)
     for cyl in world.cylinders:
         ox = origins[:, 0] - cyl.cx
@@ -96,7 +156,33 @@ def raycast(world: World, origins: np.ndarray, dirs: np.ndarray,
     return np.where(best <= max_range, best, np.inf)
 
 
-def simulate_scan(
+def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = (float(v) for v in q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float64)
+
+
+def _quat_mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([aw * bw - ax * bx - ay * by - az * bz,
+                     aw * bx + ax * bw + ay * bz - az * by,
+                     aw * by - ax * bz + ay * bw + az * bx,
+                     aw * bz + ax * by - ay * bx + az * bw], np.float64)
+
+
+def _so3_exp_quat_np(w: np.ndarray) -> np.ndarray:
+    th = float(np.linalg.norm(w))
+    if th < 1e-12:
+        return np.array([1.0, 0.5 * w[0], 0.5 * w[1], 0.5 * w[2]])
+    ax = np.asarray(w) / th
+    return np.concatenate([[np.cos(th / 2)], np.sin(th / 2) * ax])
+
+
+def simulate_scan_np(
     world: World,
     pose_q: np.ndarray,  # (4,) wxyz sensor->world
     pose_t: np.ndarray,  # (3,)
@@ -106,18 +192,9 @@ def simulate_scan(
     noise: float = 0.0,
     seed: int = 0,
     motion_per_rev: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-) -> RingScan:
-    """Simulate one revolution from the given pose.
-
-    Points are emitted in sensor frame, ring-major with azimuth order
-    preserved (what RingExtractionVelodyne would produce). ``time`` is the
-    per-point offset in [0, scan_period). ``motion_per_rev`` optionally
-    applies continuous motion during the revolution (for deskew tests):
-    (velocity (3,), angular_velocity (3,)) in world frame.
-    """
-    from .ops import se3 as se3_ops
-    import jax.numpy as jnp
-
+):
+    """NumPy-only scan simulation (no JAX: picklable for worker-pool batch
+    generation). Returns dict(xyz (R,C,3) f32, time (R,C) f32, mask (R,C))."""
     rng = np.random.default_rng(seed)
     R, C = lidar.num_lines, lidar.points_per_ring
     az = np.linspace(0.0, 2 * np.pi, azimuth_steps, endpoint=False)
@@ -131,19 +208,16 @@ def simulate_scan(
                             (R, azimuth_steps)).reshape(-1)
 
     # per-ray pose (continuous motion during the sweep)
-    Rm = np.asarray(se3_ops.quat_to_mat(jnp.asarray(pose_q,
-                                                    dtype=jnp.float64)))
+    Rm = _quat_to_mat_np(np.asarray(pose_q, np.float64))
     if motion_per_rev is not None:
         vel, omega = motion_per_rev
         d_world = np.empty_like(d_sensor)
         origins = np.empty_like(d_sensor)
         for i, t in enumerate(np.unique(times)):
             sel = times == t
-            dq = np.asarray(se3_ops.so3_exp_quat(
-                jnp.asarray(omega * t, dtype=jnp.float64)))
-            Rt = np.asarray(se3_ops.quat_to_mat(
-                se3_ops.quat_mul(jnp.asarray(dq),
-                                 jnp.asarray(pose_q, dtype=jnp.float64))))
+            dq = _so3_exp_quat_np(np.asarray(omega, np.float64) * t)
+            Rt = _quat_to_mat_np(_quat_mul_np(dq, np.asarray(pose_q,
+                                                             np.float64)))
             d_world[sel] = d_sensor[sel] @ Rt.T
             origins[sel] = pose_t + vel * t
     else:
@@ -152,10 +226,11 @@ def simulate_scan(
 
     t_hit = raycast(world, origins, d_world, lidar.max_distance)
     rng_noise = rng.normal(0, noise, size=t_hit.shape) if noise > 0 else 0.0
-    dist = t_hit + rng_noise
+    with np.errstate(invalid="ignore"):
+        dist = t_hit + rng_noise
 
-    # back to (possibly per-time) sensor frame: point = dist * ray_dir
-    pts_sensor = d_sensor * dist[:, None]
+        # back to (possibly per-time) sensor frame: point = dist * ray_dir
+        pts_sensor = d_sensor * dist[:, None]
     rad_xy = np.linalg.norm(pts_sensor[:, :2], axis=1)
     valid = np.isfinite(dist) & (rad_xy >= lidar.min_distance) & \
         (rad_xy <= lidar.max_distance)
@@ -173,11 +248,70 @@ def simulate_scan(
         xyz[r, :n] = pts[r, idx]
         tarr[r, :n] = tm[r, idx]
         mask[r, :n] = True
+    return dict(xyz=xyz, time=tarr, mask=mask)
 
-    import jax.numpy as jnp  # noqa: F811
 
-    return RingScan(xyz=jnp.asarray(xyz), intensity=jnp.zeros((R, C)),
-                    time=jnp.asarray(tarr), mask=jnp.asarray(mask))
+def simulate_scan(world, pose_q, pose_t, lidar, azimuth_steps: int = 900,
+                  elevation_limits: Tuple[float, float] = (-15.0, 15.0),
+                  noise: float = 0.0, seed: int = 0,
+                  motion_per_rev=None) -> RingScan:
+    """Simulate one revolution from the given pose.
+
+    Points are emitted in sensor frame, ring-major with azimuth order
+    preserved (what RingExtractionVelodyne would produce). ``time`` is the
+    per-point offset in [0, scan_period). ``motion_per_rev`` optionally
+    applies continuous motion during the revolution (for deskew tests):
+    (velocity (3,), angular_velocity (3,)) in world frame.
+    """
+    import jax.numpy as jnp
+
+    d = simulate_scan_np(world, pose_q, pose_t, lidar, azimuth_steps,
+                         elevation_limits, noise, seed, motion_per_rev)
+    R, C = lidar.num_lines, lidar.points_per_ring
+    return RingScan(xyz=jnp.asarray(d["xyz"]), intensity=jnp.zeros((R, C)),
+                    time=jnp.asarray(d["time"]), mask=jnp.asarray(d["mask"]))
+
+
+def _scan_job(args):
+    world, q, t, lidar, azimuth_steps, noise, seed = args
+    d = simulate_scan_np(world, q, t, lidar, azimuth_steps=azimuth_steps,
+                         noise=noise, seed=seed)
+    return (d["xyz"].astype(np.float32), d["time"].astype(np.float32),
+            d["mask"])
+
+
+def simulate_sequence(world: World, poses, lidar: LidarConfig,
+                      azimuth_steps: int = 900, noise: float = 0.0,
+                      workers: int = 0):
+    """Batch scan generation over a pose list, optionally on a process pool
+    (the ray-cast is pure NumPy). Returns list of (xyz f32, time f32, mask)
+    numpy triples in pose order."""
+    jobs = [(world, q, t, lidar, azimuth_steps, noise, i)
+            for i, (q, t) in enumerate(poses)]
+    if workers and len(jobs) > 1:
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(workers) as pool:
+            return pool.map(_scan_job, jobs)
+    return [_scan_job(j) for j in jobs]
+
+
+def circuit_trajectory(num_poses: int, radius: float = 40.0,
+                       step: float = 1.25, center_z: float = 1.8,
+                       ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Closed circular circuit (heading tangent to the circle): ``step``
+    metres of arc per pose, so num_poses * step / (2*pi*radius) loops —
+    pass enough poses for > 1 loop to exercise map revisits. KITTI-like
+    scale: step 1.25 m at 10 Hz = 12.5 m/s."""
+    poses = []
+    dth = step / radius
+    for i in range(num_poses):
+        th = i * dth
+        yaw = th + np.pi / 2.0
+        q = np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
+        t = np.array([radius * np.cos(th), radius * np.sin(th), center_z])
+        poses.append((q, t))
+    return poses
 
 
 def spiral_trajectory(num_poses: int, step: float = 0.12,

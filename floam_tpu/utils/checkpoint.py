@@ -27,13 +27,27 @@ def _flatten_state(state: OdomState) -> dict:
 
 def save_checkpoint(path, state: OdomState, stamps, quats, trans,
                     frame_idx: Optional[int] = None,
-                    extra: Optional[dict] = None) -> None:
+                    extra: Optional[dict] = None,
+                    global_map=None, kf_flags=None, imu=None) -> None:
+    """Snapshot the engine. Optional host-side state travels along:
+    ``global_map`` (a mapping.GlobalMap — its C6 block store),
+    ``kf_flags`` ((N,) bool per-frame keyframe gates, so a resumed run can
+    still export keyframe-gated posegraphs), and ``imu`` (an
+    ops.deskew.ImuStream buffer)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = _flatten_state(state)
     payload["traj_stamps"] = np.asarray(stamps)
     payload["traj_quats"] = np.asarray(quats)
     payload["traj_trans"] = np.asarray(trans)
+    if kf_flags is not None:
+        payload["traj_kf"] = np.asarray(kf_flags, bool)
+    if global_map is not None:
+        for k, v in global_map.to_arrays().items():
+            payload[f"gmap_{k}"] = v
+    if imu is not None and imu.stamps:
+        payload["imu_stamps"] = np.asarray(imu.stamps)
+        payload["imu_quats"] = np.asarray(imu.quats)
     if extra:
         for k, v in extra.items():
             payload[f"extra_{k}"] = np.asarray(v)
@@ -42,10 +56,12 @@ def save_checkpoint(path, state: OdomState, stamps, quats, trans,
     tmp.replace(path)  # atomic publish
 
 
-def load_checkpoint(path, template: OdomState
+def load_checkpoint(path, template: OdomState, global_map=None, imu=None
                     ) -> Tuple[OdomState, np.ndarray, np.ndarray, np.ndarray]:
     """Restore (state, stamps, quats, trans). ``template`` provides the
-    pytree structure (from odometry.init_state with the same config)."""
+    pytree structure (from odometry.init_state with the same config).
+    Pass ``global_map`` / ``imu`` to restore their saved host state in
+    place (no-ops when the checkpoint predates those fields)."""
     import jax.numpy as jnp
 
     data = np.load(Path(path))
@@ -59,5 +75,18 @@ def load_checkpoint(path, template: OdomState
                 "config mismatch")
         restored.append(jnp.asarray(arr, leaf.dtype))
     state = jax.tree_util.tree_unflatten(treedef, restored)
+    if global_map is not None and "gmap_keys" in data:
+        global_map.load_arrays(data["gmap_keys"], data["gmap_offsets"],
+                               data["gmap_points"])
+    if imu is not None and "imu_stamps" in data:
+        imu.stamps = [float(s) for s in data["imu_stamps"]]
+        imu.quats = list(np.asarray(data["imu_quats"], np.float64))
     return (state, data["traj_stamps"], data["traj_quats"],
             data["traj_trans"])
+
+
+def load_kf_flags(path) -> Optional[np.ndarray]:
+    """Per-frame keyframe flags saved alongside the trajectory (None for
+    checkpoints written before the field existed)."""
+    data = np.load(Path(path))
+    return np.asarray(data["traj_kf"], bool) if "traj_kf" in data else None

@@ -1,0 +1,83 @@
+"""Long-horizon accuracy evaluation: 240-frame outdoor circuit with revisits.
+
+The north-star accuracy target (KITTI 00-10 ATE) is unmeasurable without the
+dataset; this is the closest available proxy: an outdoor-scale scene
+(200 m extent, building-like boxes + ground plane + pole rows), a 300 m
+closed circuit at KITTI-like speed (1.25 m/frame = 12.5 m/s at 10 Hz) with
+map revisits after the first loop, scored with ATE + the KITTI devkit
+segment-drift metric (every-10-frames start rule, 100-800 m segments).
+
+Usage: python scripts/longrun_sim.py [--frames 240] [--noise 0.02]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def run_longrun(frames: int = 240, noise: float = 0.0, azimuth_steps: int = 720,
+                num_buildings: int = 16, workers: int = 2, ba: bool = True,
+                progress_every: int = 0):
+    """Returns dict with ate_m, ate_odom_m, drift_pct, scans_per_sec."""
+    import jax.numpy as jnp
+
+    from floam_tpu import sim
+    from floam_tpu.config import FloamConfig
+    from floam_tpu.runner import SequenceRunner
+    from floam_tpu.types import RingScan
+
+    cfg = FloamConfig.kitti_hdl64()
+    world = sim.World.outdoor(extent=200.0, num_buildings=num_buildings,
+                              num_poles=36, path_radius=40.0, seed=0)
+    gt = sim.circuit_trajectory(frames, radius=40.0, step=1.25, center_z=1.8)
+
+    t0 = time.perf_counter()
+    raw = sim.simulate_sequence(world, gt, cfg.lidar,
+                                azimuth_steps=azimuth_steps, noise=noise,
+                                workers=workers)
+    gen_s = time.perf_counter() - t0
+
+    R, C = cfg.lidar.num_lines, cfg.lidar.points_per_ring
+    zeros_i = jnp.zeros((R, C), jnp.float32)
+
+    def scan_stream():
+        for i, (xyz, tm, mask) in enumerate(raw):
+            yield 0.1 * i, RingScan(xyz=jnp.asarray(xyz), intensity=zeros_i,
+                                    time=jnp.asarray(tm),
+                                    mask=jnp.asarray(mask))
+
+    if not ba:
+        cfg = cfg.replace(ba=cfg.ba.__class__(enabled=False))
+    runner = SequenceRunner(cfg)
+    gt_q = np.stack([q for q, _ in gt])
+    gt_t = np.stack([t for _, t in gt])
+    res = runner.run(scan_stream(), gt=(gt_q, gt_t),
+                     progress_every=progress_every)
+    return {
+        "frames": frames,
+        "longrun_ate_m": round(res.ate, 4) if res.ate is not None else None,
+        "longrun_ate_odom_m": round(res.ate_odom, 4)
+            if res.ate_odom is not None else None,
+        "longrun_drift_pct": round(res.drift_pct, 4)
+            if res.drift_pct is not None else None,
+        "longrun_rate": round(res.scans_per_sec, 2),
+        "sim_gen_s": round(gen_s, 1),
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--noise", type=float, default=0.0)
+    ap.add_argument("--no-ba", action="store_true")
+    ap.add_argument("--workers", type=int, default=2)
+    args = ap.parse_args()
+    out = run_longrun(frames=args.frames, noise=args.noise,
+                      ba=not args.no_ba, workers=args.workers,
+                      progress_every=50)
+    print(json.dumps(out))

@@ -59,6 +59,74 @@ def test_global_map_accumulates_and_downsamples(rng):
     assert gm.num_points <= n1 * 1.1
 
 
+def test_global_map_over_capacity_lossless(rng):
+    """More raw points than block_capacity in ONE block must still produce
+    correct voxel centroids — nothing silently truncated (the reference's
+    per-cell re-voxelize is lossless, laserMappingClass.cpp:175-184)."""
+    cfg = MappingConfig(cell_size=10.0, map_resolution=1.0,
+                        block_capacity=256, neighbor_range=1)
+    gm = mapping.GlobalMap(cfg)
+    pose = Pose.identity(jnp.float64)
+    # 1000 points (4x capacity) in two voxels of the pose block; the voxel
+    # centroid is correct only if the tail beyond capacity is averaged in
+    pts = np.concatenate([
+        np.tile([0.25, 0.25, 0.25], (500, 1)),
+        np.tile([1.75, 0.25, 0.25], (500, 1)),
+    ])
+    gm.update(jnp.asarray(pts), pose)
+    out = gm.get_map()
+    got = {tuple(np.round(p[:3], 3)) for p in out}
+    assert got == {(0.25, 0.25, 0.25), (1.75, 0.25, 0.25)}
+
+
+def test_global_map_far_block_growth_bounded(rng):
+    """A block far from the pose is re-voxelized once its raw size exceeds
+    block_capacity (the round-1 implementation let far blocks grow without
+    bound between visits)."""
+    cfg = MappingConfig(cell_size=10.0, map_resolution=0.5,
+                        block_capacity=512, neighbor_range=1)
+    gm = mapping.GlobalMap(cfg)
+    pose = Pose.identity(jnp.float64)
+    far = rng.uniform(51, 54, size=(400, 3))  # entirely inside block (5,5,5)
+    for _ in range(4):
+        gm.update(jnp.asarray(far), pose)  # 1600 raw appends > capacity
+    far_key = (5, 5, 5)
+    assert far_key in gm.blocks
+    got = len(gm.blocks[far_key])
+    n_vox = len({tuple(np.floor(p / 0.5).astype(int)) for p in far})
+    # the final update appends 400 raw, pushing 216-voxel content past the
+    # 512 capacity, so the same update re-voxelizes it back down
+    assert got <= n_vox + 2, (got, n_vox)
+
+
+def test_global_map_checkpoint_roundtrip(tmp_path, rng):
+    """GlobalMap blocks survive save/load bit-exactly (round-1 checkpoints
+    lost the C6 map)."""
+    from floam_tpu.utils import checkpoint as ckpt
+    from floam_tpu import odometry
+    from floam_tpu.config import FloamConfig, OdomConfig
+
+    cfg = small_map_cfg()
+    gm = mapping.GlobalMap(cfg)
+    pts = rng.uniform(-12, 12, size=(3000, 3))
+    gm.update(jnp.asarray(pts), Pose.identity(jnp.float64))
+    fc = FloamConfig(odom=OdomConfig(map_edge_table=256, map_surf_table=256,
+                                     scan_edge_capacity=64,
+                                     scan_surf_capacity=64,
+                                     scan_surf_slots=64))
+    state = odometry.init_state(fc)
+    ckpt.save_checkpoint(tmp_path / "c.npz", state, [0.0],
+                         np.zeros((1, 4)), np.zeros((1, 3)),
+                         global_map=gm, kf_flags=[True])
+    gm2 = mapping.GlobalMap(cfg)
+    ckpt.load_checkpoint(tmp_path / "c.npz", state, global_map=gm2)
+    assert set(gm2.blocks) == set(gm.blocks)
+    for k in gm.blocks:
+        np.testing.assert_array_equal(gm.blocks[k], gm2.blocks[k])
+    kf = ckpt.load_kf_flags(tmp_path / "c.npz")
+    assert kf is not None and kf.tolist() == [True]
+
+
 # ---------------------------------------------------------------- metrics
 
 def test_ate_alignment_invariance(rng):

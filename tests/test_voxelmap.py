@@ -25,6 +25,24 @@ def test_hash_downsample_matches_golden(rng):
     assert len(got_set & want_set) >= len(want) - 6
 
 
+@pytest.mark.parametrize("super_", [2, 3, 4])
+def test_insert_crop_reuse_any_super(rng, super_):
+    """Insert/crop/evict-slot-reuse semantics hold at every production
+    supercell size (sub-id/parent math regressions at odd S would otherwise
+    only surface as ATE drift)."""
+    vm = voxelmap.empty(1024, 1.0, jnp.float64, super=super_)
+    pts = jnp.asarray([[0.5, 0.5, 0.5], [50.5, 0.5, 0.5], [0.5, 7.5, 0.5]])
+    vm = voxelmap.insert(vm, pts, jnp.ones(3, bool), probe_rounds=super_ ** 3)
+    assert int(vm.num_occupied()) == 3
+    vm = voxelmap.crop(vm, jnp.zeros(3), 10.0)
+    c, occ = vm.centroids()
+    kept = np.asarray(c)[np.asarray(occ)]
+    assert len(kept) == 2 and (np.abs(kept) <= 10.0).all()
+    vm = voxelmap.insert(vm, jnp.asarray([[50.5, 0.5, 0.5]]),
+                         jnp.ones(1, bool), probe_rounds=super_ ** 3)
+    assert int(vm.num_occupied()) == 3
+
+
 def test_insert_running_mean(rng):
     vm = voxelmap.empty(1024, 1.0, jnp.float64)
     pts = jnp.asarray([[0.2, 0.2, 0.2], [0.4, 0.4, 0.4], [5.1, 0.0, 0.0]])
@@ -66,12 +84,15 @@ def test_crop_evicts():
     assert int(vm.num_occupied()) == 2
 
 
+@pytest.mark.parametrize("super_", [2, 3, 4])
 @pytest.mark.parametrize("leaf", [0.4, 0.8])
-def test_query_knn_exact_within_radius(rng, leaf):
-    """Against brute force over voxel centroids: exact within radius 1.0."""
+def test_query_knn_exact_within_radius(rng, leaf, super_):
+    """Against brute force over voxel centroids: exact within radius 1.0,
+    at every production supercell size (edge map uses S=3, surf S=4)."""
     pts = rng.uniform(-8, 8, size=(4000, 3))
-    vm = voxelmap.empty(16384, leaf, jnp.float64)
-    vm = voxelmap.insert(vm, jnp.asarray(pts), jnp.ones(len(pts), bool))
+    vm = voxelmap.empty(16384, leaf, jnp.float64, super=super_)
+    vm = voxelmap.insert(vm, jnp.asarray(pts), jnp.ones(len(pts), bool),
+                         probe_rounds=super_ ** 3)
     cents, occ = vm.centroids()
     cents = np.asarray(cents)[np.asarray(occ)]
 
@@ -121,17 +142,20 @@ def test_neighbor_offsets_counts():
     assert len(o4) < 9 ** 3
 
 
-def test_linear_hash_constants_alias_free():
-    """The insert path uses the 32-bit linear cell key as the voxel
-    ownership key; dedup is exact only while no two live cells differ by an
-    alias vector of the lattice {v : v.A + v.B + v.C == 0 mod 2^32}. Guard
-    the constants: minimal alias inf-norm must exceed the largest live cell
-    difference (1000 cells: +-100 m crop at the 0.2 m minimum hot-path
-    leaf). Full search in scripts/validate_hash_constants.py found the
-    minimum at 1023."""
+@pytest.mark.parametrize("triple", [
+    (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D),  # bucket hash (min alias 1023)
+    (0xF1E54A8B, 0xA00641A9, 0xAF266A95),  # ownership key (min alias 1188)
+])
+def test_linear_hash_constants_alias_free(triple):
+    """Both linear-key lattices {v : v.A + v.B + v.C == 0 mod 2^32} must
+    have no alias vector within +-1000 cells (the exact-dedup range: the
+    +-100 m crop at the 0.2 m minimum hot-path leaf). The bucket hash and
+    the ownership key use INDEPENDENT triples, so beyond this range a
+    silent centroid merge requires a joint alias across both lattices —
+    expected count << 1e-4 live pairs at the finest preset (leaf 0.1)."""
     import numpy as np
 
-    A, B, C = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D
+    A, B, C = triple
     M = 2 ** 32
     Cinv = pow(C, -1, M)
     R = 1000
