@@ -298,19 +298,24 @@ def simulate_sequence(world: World, poses, lidar: LidarConfig,
 
 def circuit_trajectory(num_poses: int, radius: float = 40.0,
                        step: float = 1.25, center_z: float = 1.8,
+                       ramp_frames: int = 25,
                        ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Closed circular circuit (heading tangent to the circle): ``step``
-    metres of arc per pose, so num_poses * step / (2*pi*radius) loops —
-    pass enough poses for > 1 loop to exercise map revisits. KITTI-like
-    scale: step 1.25 m at 10 Hz = 12.5 m/s."""
+    metres of arc per pose at cruise, so roughly num_poses * step /
+    (2*pi*radius) loops — pass enough poses for > 1 loop to exercise map
+    revisits. KITTI-like scale: step 1.25 m at 10 Hz = 12.5 m/s. Speed
+    ramps linearly from rest over ``ramp_frames`` (KITTI sequences also
+    start at rest; a cold constant-velocity predictor cannot latch onto a
+    full-speed first step whose error exceeds the association radius)."""
     poses = []
-    dth = step / radius
+    th = 0.0
     for i in range(num_poses):
-        th = i * dth
         yaw = th + np.pi / 2.0
         q = np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
         t = np.array([radius * np.cos(th), radius * np.sin(th), center_z])
         poses.append((q, t))
+        s = step * min(1.0, (i + 1) / max(ramp_frames, 1))
+        th += s / radius
     return poses
 
 

@@ -44,6 +44,35 @@ def test_prepare_matches_numpy_path(rng):
                                atol=1e-6)
 
 
+def test_kitti_sequence_uses_prefetcher(tmp_path, rng):
+    """KittiSequence iteration (prefetcher-backed) yields the same scans as
+    the synchronous NumPy path, in order."""
+    from floam_tpu.config import LidarConfig
+    from floam_tpu.io import kitti
+
+    lidar = LidarConfig.hdl64(min_distance=2.0, max_distance=60.0)
+    (tmp_path / "velodyne").mkdir()
+    raws = []
+    for i in range(4):
+        raw = make_raw(rng, n=4000)
+        raw.tofile(tmp_path / "velodyne" / f"{i:06d}.bin")
+        raws.append(raw)
+    seq = kitti.KittiSequence(tmp_path, lidar)
+    got = list(seq)
+    assert len(got) == 4
+    kitti._native = False  # force the sync NumPy path for the reference
+    try:
+        for i, (stamp, scan) in enumerate(got):
+            want = kitti.bin_to_ring_scan(raws[i], lidar)
+            np.testing.assert_array_equal(np.asarray(scan.mask),
+                                          np.asarray(want.mask))
+            m = np.asarray(want.mask)
+            np.testing.assert_allclose(np.asarray(scan.xyz)[m],
+                                       np.asarray(want.xyz)[m], atol=1e-6)
+    finally:
+        kitti._native = None
+
+
 def test_prefetcher_streams(tmp_path, rng):
     from floam_tpu.config import LidarConfig
 
