@@ -47,17 +47,19 @@ def gn_step(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
     dtype = pose.t.dtype
     re, Je = R.edge_residual_jacobian(pose.q, pose.t, edge)
     rs, Js = R.surf_residual_jacobian(pose.q, pose.t, surf)
+    re, Je, ve = R.sanitize_factors(re, Je, edge.valid)
+    rs, Js, vs = R.sanitize_factors(rs, Js, surf.valid)
     we = R.robust_weight(re, cfg.loss, cfg.huber_delta, cfg.cauchy_scale)
     ws = R.robust_weight(rs, cfg.loss, cfg.huber_delta, cfg.cauchy_scale)
-    we = we * edge.valid.astype(dtype)
-    ws = ws * surf.valid.astype(dtype)
+    we = we * ve.astype(dtype)
+    ws = ws * vs.astype(dtype)
 
     He, be, ce = _accumulate(re, Je, we)
     Hs, bs, cs = _accumulate(rs, Js, ws)
     H = He + Hs
     b = be + bs
 
-    n_valid = jnp.sum(edge.valid) + jnp.sum(surf.valid)
+    n_valid = jnp.sum(ve) + jnp.sum(vs)
     if shard_axis is not None:
         H = jax.lax.psum(H, shard_axis)
         b = jax.lax.psum(b, shard_axis)

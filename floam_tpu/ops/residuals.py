@@ -266,6 +266,20 @@ def surf_residual_jacobian(q, t, f: SurfFactors):
     return r, J
 
 
+def sanitize_factors(r: jnp.ndarray, J: jnp.ndarray, valid: jnp.ndarray):
+    """Zero the residual/Jacobian rows of invalid (or non-finite) factors
+    BEFORE any weighting. Invalid rows can hold non-finite garbage — e.g.
+    when a query has fewer than k real candidates, far-sentinel coordinates
+    overflow the f32 plane-fit adjugate to inf and the normal becomes NaN —
+    and ``NaN * 0 == NaN`` would otherwise poison the accumulated normal
+    equations for the WHOLE scan (every factor sums into the same 6x6 H).
+    Returns (r, J, valid) with the mask also cleared on non-finite rows."""
+    v = valid & jnp.isfinite(r) & jnp.all(jnp.isfinite(J), axis=-1)
+    r = jnp.where(v, r, jnp.zeros_like(r))
+    J = jnp.where(v[..., None], J, jnp.zeros_like(J))
+    return r, J, v
+
+
 def robust_weight(r: jnp.ndarray, loss: str, huber_delta: float,
                   cauchy_scale: float) -> jnp.ndarray:
     """IRLS weight w = rho'(r^2) for Ceres-style losses.

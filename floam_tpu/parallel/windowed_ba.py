@@ -51,10 +51,12 @@ def _frame_normal_equations(q, t, edge: R.EdgeFactors, surf: R.SurfFactors,
     dtype = t.dtype
     re, Je = R.edge_residual_jacobian(q, t, edge)
     rs, Js = R.surf_residual_jacobian(q, t, surf)
+    re, Je, ve = R.sanitize_factors(re, Je, edge.valid)
+    rs, Js, vs = R.sanitize_factors(rs, Js, surf.valid)
     we = R.robust_weight(re, cfg.loss, cfg.huber_delta, cfg.cauchy_scale)
     ws = R.robust_weight(rs, cfg.loss, cfg.huber_delta, cfg.cauchy_scale)
-    we = we * edge.valid.astype(dtype)
-    ws = ws * surf.valid.astype(dtype)
+    we = we * ve.astype(dtype)
+    ws = ws * vs.astype(dtype)
     H = jnp.einsum("ni,n,nj->ij", Je, we, Je) + \
         jnp.einsum("ni,n,nj->ij", Js, ws, Js)
     b = jnp.einsum("ni,n->i", Je, we * re) + \

@@ -200,3 +200,39 @@ def test_robust_weights():
                                atol=1e-9)
     w = np.asarray(R.robust_weight(r, "none", 0.1, 0.2))
     np.testing.assert_allclose(w, 1.0)
+
+
+def test_gn_nan_in_invalid_factors_does_not_poison(rng):
+    """Invalid factor rows can hold non-finite garbage (overflowed plane
+    fits from far-sentinel candidates when a query has < k real
+    neighbors); the solve must still move the pose off a perfect
+    constraint set. Regression: NaN * 0 weights froze whole outdoor runs."""
+    true_pose = random_pose(rng, rot_scale=0.02, t_scale=0.05)
+    n_w = np.array([[0.0, 0, 1], [1, 0, 0], [0, 1, 0]] * 8)
+    d_w = rng.normal(0, 1.0, len(n_w))
+    # sensor-frame points that lie exactly on the planes at true_pose
+    pts_w = -n_w * d_w[:, None] + np.cross(n_w, rng.normal(size=(len(n_w), 3)))
+    qi, ti = se3.pose_inverse(true_pose.q, true_pose.t)
+    pts_s = np.asarray(se3.quat_rotate(qi[None], jnp.asarray(pts_w)) + ti)
+    valid = np.ones(len(n_w), bool)
+    # poison a few INVALID rows with NaN/inf payloads
+    valid[::5] = False
+    n_pois = n_w.copy()
+    d_pois = d_w.copy()
+    p_pois = pts_s.copy()
+    n_pois[::5] = np.nan
+    d_pois[::5] = np.inf
+    p_pois[::5] = np.nan
+    sf = R.SurfFactors(point=jnp.asarray(p_pois), normal=jnp.asarray(n_pois),
+                       offset=jnp.asarray(d_pois), valid=jnp.asarray(valid))
+    ef = R.EdgeFactors(point=jnp.full((4, 3), jnp.nan),
+                       pa=jnp.full((4, 3), jnp.inf),
+                       pb=jnp.full((4, 3), jnp.nan),
+                       valid=jnp.zeros(4, bool))
+    cfg = OdomConfig(loss="none", inner_iters=10, damping=1e-12)
+    est, stats = gn.solve_pose(Pose.identity(jnp.float64), ef, sf, cfg)
+    assert bool(jnp.all(jnp.isfinite(est.t))) and \
+        bool(jnp.all(jnp.isfinite(est.q)))
+    assert bool(jnp.isfinite(stats.cost))
+    np.testing.assert_allclose(np.asarray(est.t), np.asarray(true_pose.t),
+                               atol=1e-6)
