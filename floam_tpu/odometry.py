@@ -115,20 +115,42 @@ init_map = functools.partial(jax.jit, static_argnames=("cfg",),
 # Association + solve
 # ---------------------------------------------------------------------------
 
+def _combine_axes(shard_axis, query_axis):
+    """Joint psum axis spec for the normal-equation reduction: collectives
+    take a name or a tuple of names."""
+    if shard_axis is None:
+        return query_axis
+    if query_axis is None:
+        return shard_axis
+    return (query_axis, shard_axis)
+
+
 def _shard_inputs(map_state: MapState, edge_xyz, edge_mask, surf_xyz,
-                  surf_mask, shard_axis, shard_n: int):
+                  surf_mask, shard_axis, shard_n: int,
+                  query_axis=None, query_n: int = 1):
     """Bucket-range-sharded map tables: gather the dense packed views over
     ICI so the k-NN row gathers stay device-local, and split the query set
-    so factor work is sharded too. Runs ONCE per scan."""
+    so factor work is sharded too. Runs ONCE per scan.
+
+    ``query_axis`` adds a second, DCN-friendly level: the map is replicated
+    across that axis (hosts), which therefore never moves view bytes —
+    queries are split over (query_axis, shard_axis) jointly and only the
+    6x6 normal equations cross hosts (psum)."""
     edge_view = map_state.edge_view
     surf_view = map_state.surf_view
-    if shard_axis is None:
+    if shard_axis is None and query_axis is None:
         return edge_view, surf_view, edge_xyz, edge_mask, surf_xyz, surf_mask
-    edge_view = jax.lax.all_gather(edge_view, shard_axis, tiled=True)
-    surf_view = jax.lax.all_gather(surf_view, shard_axis, tiled=True)
-    rank = jax.lax.axis_index(shard_axis)
-    qe = edge_xyz.shape[0] // shard_n
-    qs = surf_xyz.shape[0] // shard_n
+    if shard_axis is not None:
+        edge_view = jax.lax.all_gather(edge_view, shard_axis, tiled=True)
+        surf_view = jax.lax.all_gather(surf_view, shard_axis, tiled=True)
+        rank = jax.lax.axis_index(shard_axis)
+    else:
+        rank = 0
+    if query_axis is not None:
+        rank = jax.lax.axis_index(query_axis) * shard_n + rank
+    n = shard_n * query_n
+    qe = edge_xyz.shape[0] // n
+    qs = surf_xyz.shape[0] // n
     edge_xyz = jax.lax.dynamic_slice_in_dim(edge_xyz, rank * qe, qe)
     edge_mask = jax.lax.dynamic_slice_in_dim(edge_mask, rank * qe, qe)
     surf_xyz = jax.lax.dynamic_slice_in_dim(surf_xyz, rank * qs, qs)
@@ -193,17 +215,21 @@ def _solve_from_candidates(pose: Pose, cand_e, d2_e, cand_s, d2_s,
 def _associate_and_solve(pose: Pose, map_state: MapState,
                          edge_xyz, edge_mask, surf_xyz, surf_mask,
                          oc: OdomConfig, shard_axis=None,
-                         shard_n: int = 1) -> Tuple[Pose, gn.GNStats]:
+                         shard_n: int = 1, query_axis=None,
+                         query_n: int = 1,
+                         solve_axis=None) -> Tuple[Pose, gn.GNStats]:
     """One self-contained associate+solve round (gather at the current
     pose, margin 0): the cfg.gather_per_round path and profiling unit."""
+    if solve_axis is None:
+        solve_axis = _combine_axes(shard_axis, query_axis)
     edge_view, surf_view, edge_xyz, edge_mask, surf_xyz, surf_mask = \
         _shard_inputs(map_state, edge_xyz, edge_mask, surf_xyz, surf_mask,
-                      shard_axis, shard_n)
+                      shard_axis, shard_n, query_axis, query_n)
     cand_e, d2_e, cand_s, d2_s = _gather_candidates(
         pose, map_state, edge_view, surf_view, edge_xyz, surf_xyz, oc, 0.0)
     return _solve_from_candidates(pose, cand_e, d2_e, cand_s, d2_s,
                                   edge_xyz, edge_mask, surf_xyz, surf_mask,
-                                  oc, shard_axis=shard_axis)
+                                  oc, shard_axis=solve_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +238,8 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
 
 def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
                    cfg: FloamConfig, update_map: bool = True,
-                   predict: bool = True, shard_axis=None, shard_n: int = 1
+                   predict: bool = True, shard_axis=None, shard_n: int = 1,
+                   query_axis=None, query_n: int = 1
                    ) -> Tuple[OdomState, OdomDiagnostics]:
     """One scan-to-map update (updatePointsToMap VANILLA path,
     src/odomEstimationClass.cpp:57-124).
@@ -225,6 +252,16 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
     already-registered pose instead of re-applying the constant-velocity
     model. (The reference *intends* this but its always-true condition at
     :63 re-predicts anyway — quirk 2; we implement the intent.)
+
+    Sharding axes (both optional, composable):
+      * ``shard_axis``/``shard_n`` — bucket-range MAP sharding (ICI tier):
+        table planes split across the axis, packed views all-gathered per
+        scan, inserts/crops local to each owner.
+      * ``query_axis``/``query_n`` — QUERY sharding (DCN tier): the map is
+        replicated across this axis, each member takes a slice of the query
+        set, and only the 6x6 normal equations cross it (psum) — no bulk
+        view traffic ever rides this axis, which is what makes it safe
+        across hosts.
     """
     oc = cfg.odom
     dtype = state.pose.t.dtype
@@ -267,17 +304,20 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
                         num_surf=jnp.asarray(0, jnp.int32),
                         cost=jnp.asarray(0.0, dtype))
 
+    solve_axis = _combine_axes(shard_axis, query_axis)
     if oc.gather_per_round:
         def round_fn(pose, _first):
             return _associate_and_solve(pose, state.map, e_xyz, e_mask,
                                         s_xyz, s_mask, oc, shard_axis,
-                                        shard_n)
+                                        shard_n, query_axis, query_n,
+                                        solve_axis)
     else:
         # gather-once association: ONE margin-inflated candidate gather per
         # scan at the predicted pose; every round re-ranks those planes at
         # its updated pose (elementwise only). See OdomConfig.assoc_margin.
         ev, sv, ce_xyz, ce_mask, cs_xyz, cs_mask = _shard_inputs(
-            state.map, e_xyz, e_mask, s_xyz, s_mask, shard_axis, shard_n)
+            state.map, e_xyz, e_mask, s_xyz, s_mask, shard_axis, shard_n,
+            query_axis, query_n)
         cand_e, d2_e0, cand_s, d2_s0 = _gather_candidates(
             pred, state.map, ev, sv, ce_xyz, cs_xyz, oc, oc.assoc_margin)
 
@@ -285,7 +325,7 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
             return _solve_from_candidates(
                 pose, cand_e, d2_e0 if first else None,
                 cand_s, d2_s0 if first else None,
-                ce_xyz, ce_mask, cs_xyz, cs_mask, oc, shard_axis=shard_axis)
+                ce_xyz, ce_mask, cs_xyz, cs_mask, oc, shard_axis=solve_axis)
 
     if oc.adaptive_rounds:
         def cond(carry):

@@ -53,11 +53,25 @@ def _batch_spec():
     return P()  # prefix spec: every leaf of the PointBatch replicated
 
 
-def make_map_sharded_step(mesh: Mesh, cfg: FloamConfig, axis: str = "mp"):
+def make_map_sharded_step(mesh: Mesh, cfg: FloamConfig, axis: str = "mp",
+                          query_axis: str = None):
     """Jitted odometry step over a map-sharded state. Scan inputs are
     replicated; the state's hash-table planes and packed views are sharded
-    along ``axis``."""
+    along ``axis``.
+
+    ``query_axis`` enables the hierarchical two-tier layout for multi-host
+    meshes (the DCN analogue of the reference's single-process map,
+    src/odomEstimationClass.cpp:78-79 — which has no scale-out story at
+    all): the map planes are sharded over ``axis`` (intra-host ICI, where
+    the per-scan packed-view all-gather is cheap) and REPLICATED over
+    ``query_axis`` (hosts); each host solves a slice of the query set and
+    only the 6x6 Gauss-Newton normal equations cross the host boundary
+    (psum) — a few hundred bytes per round instead of the multi-MB views.
+    Keyframe inserts run on the full (replicated) feature cloud on every
+    host, so the per-host map replicas stay bit-identical with zero map
+    traffic over DCN."""
     n = mesh.shape[axis]
+    qn = mesh.shape[query_axis] if query_axis else 1
     sspec = _state_spec(axis, cfg)
 
     @functools.partial(
@@ -66,7 +80,8 @@ def make_map_sharded_step(mesh: Mesh, cfg: FloamConfig, axis: str = "mp"):
         out_specs=(sspec, P()), check_vma=False)
     def step(state, edge, surf):
         new_state, diag = odometry.odom_step_impl(
-            state, edge, surf, cfg, shard_axis=axis, shard_n=n)
+            state, edge, surf, cfg, shard_axis=axis, shard_n=n,
+            query_axis=query_axis, query_n=qn)
         return new_state, diag
 
     return jax.jit(step, donate_argnums=(0,))

@@ -217,3 +217,55 @@ def test_map_sharded_step_matches_single(rng):
     occ_ref = int(ref_state.map.surf.num_occupied())
     occ_sh = int(np.asarray(out_state.map.surf.counts > 0).sum())
     assert occ_sh == occ_ref
+
+
+def test_hierarchical_map_sharded_step_matches_single(rng):
+    """Two-tier (host x chip) layout: map planes sharded over the intra-host
+    axis and replicated across hosts, queries sliced over hosts, normal
+    equations psum-reduced over both axes. Must match the single-device
+    step exactly, and the per-host map replicas must stay identical after
+    the keyframe insert."""
+    from floam_tpu.parallel.sharded_map import (make_map_sharded_step,
+                                                shard_state)
+
+    cfg = small_config()
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("host", "mp"))
+
+    edge = _make_batch_inputs(rng, 1, n=512, dtype=jnp.float64)
+    surf = _make_batch_inputs(rng, 1, n=2048, dtype=jnp.float64)
+    edge = jax.tree_util.tree_map(lambda x: x[0], edge)
+    surf = jax.tree_util.tree_map(lambda x: x[0], surf)
+
+    s0 = odometry.init_state(cfg, dtype=jnp.float64)
+    s0 = odometry.init_map_impl(s0, edge, surf, cfg)
+    ref_state, ref_diag = odometry.odom_step_impl(s0, edge, surf, cfg)
+
+    s1 = odometry.init_state(cfg, dtype=jnp.float64)
+    s1 = odometry.init_map_impl(s1, edge, surf, cfg)
+    s1 = shard_state(s1, mesh, cfg)
+    step = make_map_sharded_step(mesh, cfg, axis="mp", query_axis="host")
+    out_state, diag = step(s1, edge, surf)
+
+    np.testing.assert_allclose(np.asarray(out_state.pose.t),
+                               np.asarray(ref_state.pose.t), atol=1e-9)
+    sign = np.sign(np.dot(np.asarray(out_state.pose.q),
+                          np.asarray(ref_state.pose.q)))
+    np.testing.assert_allclose(np.asarray(out_state.pose.q) * sign,
+                               np.asarray(ref_state.pose.q), atol=1e-9)
+    assert int(diag.num_surf_factors) == int(ref_diag.num_surf_factors)
+    # occupancy can differ by a few voxels: the scatter winner among
+    # bucket-alias way contenders is implementation-defined and the local
+    # and global insert programs may break ties differently
+    occ_ref = int(ref_state.map.surf.num_occupied())
+    occ_sh = int(np.asarray(out_state.map.surf.counts > 0).sum())
+    assert abs(occ_sh - occ_ref) <= 3, (occ_sh, occ_ref)
+    # the per-host map replicas must be bit-identical (no DCN map traffic)
+    by_index = {}
+    for sh in out_state.map.surf.counts.addressable_shards:
+        key = tuple((s.start, s.stop) for s in sh.index)
+        if key in by_index:
+            np.testing.assert_array_equal(np.asarray(sh.data),
+                                          by_index[key])
+        else:
+            by_index[key] = np.asarray(sh.data)
+    assert len(by_index) == 4  # 4 distinct mp shards, each replicated 2x
