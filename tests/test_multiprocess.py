@@ -172,7 +172,8 @@ prob_g = jax.tree_util.tree_map(
 ba = make_sharded_ba_step(mesh_ba, cfg.odom, iters=2)
 q_out, t_out = ba(prob_g)
 jax.block_until_ready(t_out)
-t_ba = np.asarray(multihost_utils.process_allgather(t_out)).reshape(-1, 3)
+t_ba = np.asarray(
+    multihost_utils.process_allgather(t_out, tiled=True)).reshape(-1, 3)
 np.testing.assert_allclose(t_ba[:K], np.asarray(ref_ba.trans), atol=1e-4)
 print("distributed BA over 2 processes OK", flush=True)
 jax.distributed.shutdown()
