@@ -239,6 +239,33 @@ class ExportConfig:
     save_odom: bool = False
 
 
+def _validate_candidate_budget(odom: OdomConfig) -> None:
+    """Fail at config BUILD time (not at trace time) when the k-NN candidate
+    count per query exceeds the packed-index selection budget
+    (ops/voxelmap._MAX_IDX_BITS). Without this, broken presets ship silently
+    and only crash when the first scan is traced."""
+    from .ops import voxelmap  # deferred: keep config importable standalone
+
+    radius = float(odom.nn_radius_sq) ** 0.5 + (
+        0.0 if odom.gather_per_round else odom.assoc_margin)
+    sides = (
+        ("edge", odom.map_resolution, odom.map_edge_table,
+         odom.map_edge_super),
+        ("surf", 2.0 * odom.map_resolution, odom.map_surf_table,
+         odom.map_surf_super),
+    )
+    for name, leaf, table, sup in sides:
+        deltas, _ = voxelmap.sub_offset_tables(leaf, sup, radius, table)
+        cands = deltas.shape[1] * voxelmap.way_block(sup ** 3)
+        try:
+            voxelmap._lane_bits(cands)
+        except ValueError as e:
+            raise ValueError(
+                f"invalid OdomConfig ({name} map side, leaf {leaf:g} m, "
+                f"supercell {sup}, search radius {radius:g} m): {e}"
+            ) from None
+
+
 @dataclasses.dataclass(frozen=True)
 class FloamConfig:
     """Top-level engine configuration."""
@@ -250,6 +277,9 @@ class FloamConfig:
     deskew: DeskewConfig = dataclasses.field(default_factory=DeskewConfig)
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
     export: ExportConfig = dataclasses.field(default_factory=ExportConfig)
+
+    def __post_init__(self):
+        _validate_candidate_budget(self.odom)
 
     def replace(self, **kw) -> "FloamConfig":
         return dataclasses.replace(self, **kw)

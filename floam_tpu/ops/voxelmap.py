@@ -333,32 +333,43 @@ def offset_key_deltas(offsets: np.ndarray) -> np.ndarray:
         return (o[:, 0] * _LA + o[:, 1] * _LB + o[:, 2] * _LC)
 
 
-_IDX_BITS = 13  # supports up to 8192 candidates per query
-_IDX_MASK = (1 << _IDX_BITS) - 1
+_IDX_BITS = 13  # minimum lane-index width (8192 candidates/query)
+#: hard cap on the lane-index width. Packing the candidate index into the
+#: low b mantissa bits perturbs distances by <= 2^(b-23) relative: 13 bits
+#: -> 0.1%, 16 bits -> 0.8% — still far below every association gate (the
+#: radius gate is 1.0 m^2 and line/plane fits recompute exact moments from
+#: the winner mask). 16 bits supports 65,536 candidates/query, which covers
+#: leaf 0.1 at radius 1.25 (the structor_vlp16 indoor preset needs 18,624).
+_MAX_IDX_BITS = 16
+
+
+def _lane_bits(C: int) -> int:
+    """Lane-index width for C candidates/query (adaptive; see _MAX_IDX_BITS)."""
+    bits = max(_IDX_BITS, (C - 1).bit_length())
+    if bits > _MAX_IDX_BITS:
+        raise ValueError(
+            f"{C} candidates/query exceeds the packed-index budget "
+            f"({1 << _MAX_IDX_BITS}); use a coarser map leaf, a larger "
+            "supercell, or a smaller search radius")
+    return bits
 
 
 def _packed_min_k(d2: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k smallest of each row of a NON-NEGATIVE f32 (Q, C) array, with
     argmins, via index-in-mantissa packing: sort-free, k passes of uint min.
-    Perturbs distances by <= 2^-13 relative (harmless for gating)."""
+    Perturbs distances by <= 2^(bits-23) relative (harmless for gating)."""
     Q, C = d2.shape
-    if C > (1 << _IDX_BITS):
-        raise ValueError(
-            f"{C} candidates/query exceeds the packed-index budget "
-            f"({1 << _IDX_BITS}); use a coarser map leaf or a dedicated "
-            "search view (leaves < 0.2 m with radius 1.0 are not yet "
-            "supported on the hot path)")
+    mask = jnp.uint32((1 << _lane_bits(C)) - 1)
     bits = jax.lax.bitcast_convert_type(d2, jnp.uint32)
     lane = jax.lax.broadcasted_iota(jnp.uint32, (Q, C), 1)
-    packed = (bits & ~jnp.uint32(_IDX_MASK)) | lane
+    packed = (bits & ~mask) | lane
     vals = []
     idxs = []
     big = jnp.uint32(0xFFFFFFFF)
     for _ in range(k):
         m = jnp.min(packed, axis=1)  # (Q,)
-        vals.append(jax.lax.bitcast_convert_type(
-            m & ~jnp.uint32(_IDX_MASK), jnp.float32))
-        idxs.append((m & jnp.uint32(_IDX_MASK)).astype(jnp.int32))
+        vals.append(jax.lax.bitcast_convert_type(m & ~mask, jnp.float32))
+        idxs.append((m & mask).astype(jnp.int32))
         packed = jnp.where(packed == m[:, None], big, packed)
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
 
@@ -442,6 +453,7 @@ def query_knn(vm_or_view, queries: jnp.ndarray, qmask: jnp.ndarray,
 # Compaction + sort-free downsample
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
 def sub_offset_tables(leaf: float, super: int, radius: float,
                       num_buckets: int):
     """Per-sub-voxel pruned + bucket-deduped neighbor tables over the
@@ -584,21 +596,17 @@ def select_k_mask(d2: jnp.ndarray, k: int):
     falls out of the packed-min masking for free, enabling gather-free
     factor fits via masked moment accumulation."""
     Q, C = d2.shape
-    if C > (1 << _IDX_BITS):
-        raise ValueError(
-            f"{C} candidates/query exceeds the packed-index budget "
-            f"({1 << _IDX_BITS})")
+    mask = jnp.uint32((1 << _lane_bits(C)) - 1)
     bits = jax.lax.bitcast_convert_type(d2.astype(jnp.float32), jnp.uint32)
     lane = jax.lax.broadcasted_iota(jnp.uint32, (Q, C), 1)
-    packed = (bits & ~jnp.uint32(_IDX_MASK)) | lane
+    packed = (bits & ~mask) | lane
     big = jnp.uint32(0xFFFFFFFF)
     orig = packed
     m = jnp.zeros((Q,), jnp.uint32)
     for _ in range(k):
         m = jnp.min(packed, axis=1)
         packed = jnp.where(packed == m[:, None], big, packed)
-    kth_d2 = jax.lax.bitcast_convert_type(
-        m & ~jnp.uint32(_IDX_MASK), jnp.float32)
+    kth_d2 = jax.lax.bitcast_convert_type(m & ~mask, jnp.float32)
     winners = (packed == big) & (orig != big)
     return kth_d2, winners
 
