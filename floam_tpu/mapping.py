@@ -52,6 +52,11 @@ class GlobalMap:
         self.cfg = cfg
         #: (bx, by, bz) -> (n, 4) float32 [x, y, z, intensity]
         self.blocks: Dict[Tuple[int, int, int], np.ndarray] = {}
+        #: blocks with raw (un-revoxelized) appends since their last
+        #: downsample — re-voxelizing a clean block is a no-op (the voxel
+        #: filter is idempotent), so skipping them is exact and avoids
+        #: re-downsampling the whole pose neighborhood every keyframe
+        self._dirty: set = set()
 
     # -- update (one (cloud, pose) pair, reference :148-186) -------------
     def update(self, xyz, pose: Pose, intensity=None, mask=None) -> None:
@@ -69,16 +74,32 @@ class GlobalMap:
         m = np.asarray(mask)
         world, inten, block = world[m], inten[m], block[m]
 
-        # host scatter into blocks (grouped, one concat per touched block)
-        keys, inverse = np.unique(block, axis=0, return_inverse=True)
-        for bi, key in enumerate(map(tuple, keys)):
-            sel = inverse == bi
-            pts = np.concatenate([world[sel], inten[sel, None]],
-                                 axis=1).astype(np.float32)
+        # host scatter into blocks: pack (bx,by,bz) into one int64 so the
+        # grouping is a 1-D sort (np.unique over tuple rows is ~10x slower),
+        # then slice contiguous runs — one concat per TOUCHED block only
+        pts = np.concatenate([world, inten[:, None]],
+                             axis=1).astype(np.float32)
+        OFF = 1 << 20  # blocks are 50 m: +-2^20 cells is +-52,000 km
+        packed = (((block[:, 0].astype(np.int64) + OFF) << 42)
+                  | ((block[:, 1].astype(np.int64) + OFF) << 21)
+                  | (block[:, 2].astype(np.int64) + OFF))
+        order = np.argsort(packed, kind="stable")
+        packed = packed[order]
+        pts = pts[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(packed))[0] + 1,
+                                 [len(packed)]])
+        MASK = OFF * 2 - 1
+        for i in range(len(starts) - 1):
+            s, e = starts[i], starts[i + 1]
+            p = packed[s]
+            key = (int((p >> 42) & MASK) - OFF, int((p >> 21) & MASK) - OFF,
+                   int(p & MASK) - OFF)
             if key in self.blocks:
-                self.blocks[key] = np.concatenate([self.blocks[key], pts])
+                self.blocks[key] = np.concatenate([self.blocks[key],
+                                                   pts[s:e]])
             else:
-                self.blocks[key] = pts
+                self.blocks[key] = pts[s:e]
+            self._dirty.add(key)
 
         self._revoxelize_neighborhood(pose)
 
@@ -101,10 +122,12 @@ class GlobalMap:
             for dy in range(-r, r + 1):
                 for dz in range(-r, r + 1):
                     key = (c[0] + dx, c[1] + dy, c[2] + dz)
-                    if key in self.blocks and len(self.blocks[key]) > 0:
+                    # only blocks with appends since their last downsample:
+                    # the filter is idempotent, so clean blocks are no-ops
+                    if key in self._dirty and len(self.blocks[key]) > 0:
                         todo.add(key)
         cap0 = self.cfg.block_capacity
-        todo.update(k for k, v in self.blocks.items() if len(v) > cap0)
+        todo.update(k for k in self._dirty if len(self.blocks[k]) > cap0)
         if not todo:
             return
         groups: Dict[int, list] = {}

@@ -131,6 +131,13 @@ class ScanPrefetcher:
         mask = np.zeros((self.R, self.C), np.uint8)
         kept = self._lib.prefetcher_next(self._h, _fp(xyz), _fp(inten),
                                          _fp(time), _u8(mask))
+        if kept == -2:
+            # the worker could not open/read the .bin: raise (matching the
+            # synchronous load_bin path) instead of yielding an empty scan
+            # that would silently become constant-velocity drift
+            path = self._paths[self._consumed].decode()
+            self._consumed += 1
+            raise IOError(f"failed to read scan file {path!r}")
         if kept < 0:
             raise StopIteration
         self._consumed += 1

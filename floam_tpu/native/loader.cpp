@@ -134,6 +134,8 @@ struct Prefetcher {
       }
       PreparedScan s;
       s.index = idx;
+      s.kept = -2;  // read failure marker (surfaced as an error, not an
+                    // empty scan that would silently become drift)
       s.xyz.resize((size_t)R * C * 3);
       s.inten.resize((size_t)R * C);
       s.time.resize((size_t)R * C);
@@ -181,7 +183,8 @@ void* prefetcher_create(const char** paths, int64_t num_files, int32_t R,
 }
 
 // Blocks until scan `index` (monotonically consumed) is ready; copies into
-// caller buffers. Returns kept count, or -1 when past the end.
+// caller buffers. Returns kept count, -1 when past the end, or -2 when the
+// file could not be opened/read (caller should raise, not treat as empty).
 int64_t prefetcher_next(void* handle, float* out_xyz, float* out_inten,
                         float* out_time, uint8_t* out_mask) {
   auto* p = (Prefetcher*)handle;

@@ -149,6 +149,13 @@ def _shard_inputs(map_state: MapState, edge_xyz, edge_mask, surf_xyz,
     if query_axis is not None:
         rank = jax.lax.axis_index(query_axis) * shard_n + rank
     n = shard_n * query_n
+    if edge_xyz.shape[0] % n or surf_xyz.shape[0] % n:
+        # shapes are static at trace time: fail loudly instead of silently
+        # dropping the tail of the query set (lost factors vs single-device)
+        raise ValueError(
+            f"query capacities (edge {edge_xyz.shape[0]}, surf "
+            f"{surf_xyz.shape[0]}) must divide shard_n*query_n = {n}; "
+            "adjust OdomConfig.scan_edge_capacity / scan_surf_capacity")
     qe = edge_xyz.shape[0] // n
     qs = surf_xyz.shape[0] // n
     edge_xyz = jax.lax.dynamic_slice_in_dim(edge_xyz, rank * qe, qe)

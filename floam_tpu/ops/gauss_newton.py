@@ -58,12 +58,16 @@ def gn_step(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
     Hs, bs, cs = _accumulate(rs, Js, ws)
     H = He + Hs
     b = be + bs
+    cost = ce + cs
 
     n_valid = jnp.sum(ve) + jnp.sum(vs)
     if shard_axis is not None:
         H = jax.lax.psum(H, shard_axis)
         b = jax.lax.psum(b, shard_axis)
         n_valid = jax.lax.psum(n_valid, shard_axis)
+        # diagnostics must cover the WHOLE factor set, not this shard's
+        # slice, so the reported cost is consistent with num_edge/num_surf
+        cost = jax.lax.psum(cost, shard_axis)
     damping = jnp.asarray(cfg.damping, dtype)
     H = H + damping * jnp.eye(6, dtype=dtype)
     # unrolled Cholesky: fuses into the program and works in f64 on TPU
@@ -73,7 +77,7 @@ def gn_step(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,
     ok = (n_valid >= 6) & jnp.all(jnp.isfinite(delta))
     delta = jnp.where(ok, delta, jnp.zeros_like(delta))
     q2, t2 = pose_retract_right(pose.q, pose.t, delta)
-    return Pose(q=q2, t=t2), ce + cs
+    return Pose(q=q2, t=t2), cost
 
 
 def solve_pose(pose: Pose, edge: R.EdgeFactors, surf: R.SurfFactors,

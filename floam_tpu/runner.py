@@ -98,6 +98,36 @@ class SequenceRunner:
         self._ba_poses: dict = {}  # frame_idx -> (q_refined, t_refined) np
         self._ba_fn = None
 
+    @classmethod
+    def from_checkpoint(cls, path, cfg: FloamConfig, dtype=jnp.float32,
+                        with_global_map: bool = False,
+                        output_dir: Optional[str] = None,
+                        checkpoint_every: int = 0) -> "SequenceRunner":
+        """Resume a run from a checkpoint written by ``checkpoint_every``:
+        restores the full odometry state (pose pair, voxel maps, keyframe
+        gate, iteration budget), the trajectory recorded so far (with
+        keyframe flags, so exports stay keyframe-gated), the global-map
+        block store, and the IMU buffer. ``run()`` then continues exactly
+        where the interrupted run left off — the consuming path the
+        reference never had (its persistence is exit-only,
+        src/odomEstimationNode.cpp:373-387)."""
+        from .pipeline import FrameRecord
+        from .utils.checkpoint import load_checkpoint, load_kf_flags
+
+        runner = cls(cfg, dtype=dtype, with_global_map=with_global_map,
+                     output_dir=output_dir, checkpoint_every=checkpoint_every)
+        state, st, qs, ts = load_checkpoint(
+            path, runner.pipe.state, global_map=runner.global_map,
+            imu=runner.pipe.imu)
+        runner.pipe.state = state
+        runner.pipe._initialized = len(st) > 0
+        kf = load_kf_flags(path)
+        for i in range(len(st)):
+            runner.pipe.frames.append(FrameRecord(
+                float(st[i]), np.asarray(qs[i]), np.asarray(ts[i]),
+                bool(kf[i]) if kf is not None else False))
+        return runner
+
     def run(self, scans: Iterable[Tuple[float, RingScan]],
             gt: Optional[Tuple[np.ndarray, np.ndarray]] = None,
             progress_every: int = 0,
@@ -110,19 +140,24 @@ class SequenceRunner:
         if idle_timeout_s is not None:
             scans = _watchdog_iter(scans, idle_timeout_s)
         n = 0
+        # Keyframe-gated work (global map feed, BA window) is deferred by
+        # ONE frame: reading rec.is_keyframe right after process() blocks
+        # the host on the device step it just dispatched, serializing the
+        # loop (the bench's sync-free loop was ~15% faster than the runner
+        # for exactly this reason). Checking frame n-1's flag after frame
+        # n's step is in flight costs nothing — that result is already
+        # materialized by the time step n finishes.
+        track_kf = (self.global_map is not None) or self.cfg.ba.enabled
+        pending = None  # (frame_idx, rec, scan?, clouds)
         for stamp, scan in scans:
             with self.meter.frame():
                 rec = self.pipe.process(scan, stamp)
-                if rec.is_keyframe:
-                    if self.global_map is not None:
-                        xyz = np.asarray(scan.xyz).reshape(-1, 3)
-                        mask = np.asarray(scan.mask).reshape(-1)
-                        pose = Pose(q=jnp.asarray(rec.pose_q, jnp.float32),
-                                    t=jnp.asarray(rec.pose_t, jnp.float32))
-                        self.global_map.update(jnp.asarray(xyz), pose,
-                                               mask=jnp.asarray(mask))
-                    if self.cfg.ba.enabled:
-                        self._on_keyframe(n)
+                if track_kf:
+                    if pending is not None:
+                        self._handle_keyframe(*pending)
+                    pending = (len(self.pipe.frames) - 1, rec,
+                               scan if self.global_map is not None else None,
+                               self.pipe.last_clouds)
             n += 1
             if progress_every and n % progress_every == 0:
                 s = self.meter.summary()
@@ -138,6 +173,8 @@ class SequenceRunner:
                                 global_map=self.global_map, kf_flags=kf,
                                 imu=self.pipe.imu)
 
+        if pending is not None:
+            self._handle_keyframe(*pending)
         st, qs, ts = self.pipe.trajectory()
         result = RunResult(stamps=st, quats=qs, trans=ts,
                            scans_per_sec=self.meter.summary().get(
@@ -164,13 +201,30 @@ class SequenceRunner:
     # Windowed BA (cfg.ba)
     # ------------------------------------------------------------------
 
-    def _on_keyframe(self, frame_idx: int) -> None:
+    def _handle_keyframe(self, frame_idx: int, rec, scan, clouds) -> None:
+        """Deferred per-keyframe work for frame ``frame_idx`` (see run():
+        the is_keyframe read happens one frame late to avoid a per-frame
+        host-device sync)."""
+        if not rec.is_keyframe:
+            return
+        if self.global_map is not None and scan is not None:
+            xyz = np.asarray(scan.xyz).reshape(-1, 3)
+            mask = np.asarray(scan.mask).reshape(-1)
+            pose = Pose(q=jnp.asarray(rec.pose_q, jnp.float32),
+                        t=jnp.asarray(rec.pose_t, jnp.float32))
+            self.global_map.update(jnp.asarray(xyz), pose,
+                                   mask=jnp.asarray(mask))
+        if self.cfg.ba.enabled:
+            self._on_keyframe(frame_idx, clouds)
+
+    def _on_keyframe(self, frame_idx: int, clouds=None) -> None:
         """Track the keyframe window; run BA every cfg.ba.every keyframes
         once the window is full."""
         bc = self.cfg.ba
-        if self.pipe.last_clouds is None:
+        clouds = clouds if clouds is not None else self.pipe.last_clouds
+        if clouds is None:
             return
-        edge, surf = self.pipe.last_clouds
+        edge, surf = clouds
         self._kf_window.append((frame_idx, edge, surf))
         if len(self._kf_window) > bc.window:
             self._kf_window.pop(0)
@@ -209,27 +263,35 @@ class SequenceRunner:
     def _apply_ba(self, quats: np.ndarray, trans: np.ndarray):
         """Correct the full trajectory with the refined keyframe poses:
         every frame after keyframe k moves by the world-frame delta
-        refined_k o inv(odom_k) until the next refined keyframe."""
+        refined_k o inv(odom_k) until the next refined keyframe.
+
+        One batched device call for the whole trajectory (the previous
+        per-frame dispatch loop cost minutes of pure overhead at KITTI
+        sequence lengths)."""
+        import jax
+
         from .ops import se3
 
-        qs = quats.copy()
-        ts = trans.copy()
-        dq = np.array([1.0, 0, 0, 0])
-        dt = np.zeros(3)
-        for i in range(len(qs)):
-            if i in self._ba_poses:
-                rq, rt = self._ba_poses[i]
-                iq, it = se3.pose_inverse(jnp.asarray(quats[i]),
-                                          jnp.asarray(trans[i]))
-                dq_j, dt_j = se3.pose_compose(jnp.asarray(rq),
-                                              jnp.asarray(rt), iq, it)
-                dq, dt = np.asarray(dq_j), np.asarray(dt_j)
-            q_c, t_c = se3.pose_compose(jnp.asarray(dq), jnp.asarray(dt),
-                                        jnp.asarray(qs[i]),
-                                        jnp.asarray(ts[i]))
-            qs[i] = np.asarray(q_c)
-            ts[i] = np.asarray(t_c)
-        return qs, ts
+        kf = np.asarray(sorted(self._ba_poses), np.int64)
+        rq = jnp.asarray(np.stack([self._ba_poses[i][0] for i in kf]))
+        rt = jnp.asarray(np.stack([self._ba_poses[i][1] for i in kf]))
+        # frame j applies the delta of the latest refined keyframe <= j
+        # (identity before the first): slot -1 -> prepended identity row
+        slot = np.searchsorted(kf, np.arange(len(quats)), side="right")
+
+        @jax.jit
+        def correct(rq, rt, kq, kt, qs, ts, sel):
+            iq, it = se3.pose_inverse(kq, kt)
+            dq, dt = se3.pose_compose(rq, rt, iq, it)  # (K, 4/3)
+            ident_q = jnp.array([[1.0, 0, 0, 0]], dq.dtype)
+            dq = jnp.concatenate([ident_q, dq])
+            dt = jnp.concatenate([jnp.zeros((1, 3), dt.dtype), dt])
+            return se3.pose_compose(dq[sel], dt[sel], qs, ts)
+
+        q_c, t_c = correct(rq, rt, jnp.asarray(quats[kf]),
+                           jnp.asarray(trans[kf]), jnp.asarray(quats),
+                           jnp.asarray(trans), jnp.asarray(slot))
+        return np.asarray(q_c), np.asarray(t_c)
 
     def export(self, result: RunResult) -> None:
         """Write the reference's FULL export set (odomEstimationNode.cpp:

@@ -19,6 +19,13 @@ import numpy as np
 
 from ..types import OdomState
 
+#: checkpoint format version. Bump whenever the on-device state ENCODING
+#: changes in a way plain shape checks cannot catch (e.g. the ownership-key
+#: lattice constants in ops/voxelmap — keys planes from an older lattice
+#: pass the shape check but silently fail ownership matches and duplicate
+#: voxel centroids on re-observation).
+CKPT_VERSION = 2
+
 
 def _flatten_state(state: OdomState) -> dict:
     leaves, treedef = jax.tree_util.tree_flatten(state)
@@ -37,6 +44,7 @@ def save_checkpoint(path, state: OdomState, stamps, quats, trans,
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = _flatten_state(state)
+    payload["ckpt_version"] = np.asarray(CKPT_VERSION, np.int64)
     payload["traj_stamps"] = np.asarray(stamps)
     payload["traj_quats"] = np.asarray(quats)
     payload["traj_trans"] = np.asarray(trans)
@@ -65,6 +73,12 @@ def load_checkpoint(path, template: OdomState, global_map=None, imu=None
     import jax.numpy as jnp
 
     data = np.load(Path(path))
+    version = int(data["ckpt_version"]) if "ckpt_version" in data else 1
+    if version != CKPT_VERSION:
+        raise ValueError(
+            f"checkpoint format version {version} != supported "
+            f"{CKPT_VERSION} — re-run from scratch (the stored hash-map "
+            "key encoding is incompatible)")
     leaves, treedef = jax.tree_util.tree_flatten(template)
     restored = []
     for i, leaf in enumerate(leaves):

@@ -136,6 +136,46 @@ def test_checkpoint_config_mismatch(tmp_path, rng):
         checkpoint.load_checkpoint(tmp_path / "ck.npz", template)
 
 
+@pytest.mark.slow
+def test_runner_resume_matches_uninterrupted(tmp_path):
+    """A run interrupted at frame k and resumed via
+    SequenceRunner.from_checkpoint must produce the same trajectory as the
+    uninterrupted run (the checkpoint-CONSUMING path; the loader round trip
+    alone is covered by test_checkpoint_roundtrip)."""
+    import dataclasses
+
+    cfg = small_config()
+    cfg = dataclasses.replace(cfg, ba=dataclasses.replace(cfg.ba,
+                                                          enabled=False))
+    world = sim.World.room(size=18.0, height=4.0, num_poles=14, seed=1)
+    gt = sim.spiral_trajectory(8, step=0.12, yaw_rate=0.03)
+
+    def gen(lo, hi):
+        for i in range(lo, hi):
+            q, t = gt[i]
+            yield i * 0.1, sim.simulate_scan(world, q, t, cfg.lidar,
+                                             azimuth_steps=720, seed=i)
+
+    full = SequenceRunner(cfg, dtype=jnp.float64)
+    res_full = full.run(gen(0, 8))
+
+    part = SequenceRunner(cfg, dtype=jnp.float64,
+                          output_dir=tmp_path / "part", checkpoint_every=4)
+    part.run(gen(0, 4))
+    resumed = SequenceRunner.from_checkpoint(
+        tmp_path / "part" / "checkpoint.npz", cfg, dtype=jnp.float64)
+    assert len(resumed.pipe.frames) == 4
+    res_res = resumed.run(gen(4, 8))
+
+    assert len(res_res.stamps) == 8
+    np.testing.assert_allclose(res_res.trans, res_full.trans, atol=1e-9)
+    np.testing.assert_allclose(res_res.quats, res_full.quats, atol=1e-9)
+    # keyframe flags survive the round trip (exports stay keyframe-gated)
+    flags_full = [f.is_keyframe for f in full.pipe.frames]
+    flags_res = [f.is_keyframe for f in resumed.pipe.frames]
+    assert flags_full == flags_res
+
+
 def test_watchdog_stops_stalled_stream(tmp_path):
     """Liveness watchdog: a stalled source ends the run and exports are
     still written (reference watchdog, odomEstimationNode.cpp:170-174)."""
