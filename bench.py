@@ -140,6 +140,21 @@ def main():
     batched_rate = bench_batched(cfg, scans, batch=batch)
     headline = max(single_rate, batched_rate)
 
+    # BASELINE config 4: the two-phase IMU-deskew registration
+    # (UpdatePointsToMapSelector, src/odomEstimationClass.cpp:34-50 —
+    # registers twice per scan, so roughly half the vanilla rate)
+    cfg_deskew = FloamConfig.kitti_hdl64(deskew=True)
+    deskew_rate, deskew_ate = bench_single(cfg_deskew, scans, gt_t)
+
+    # Long-horizon accuracy: 240-frame outdoor circuit with revisits and
+    # 2 cm range noise, through the full product SequenceRunner (windowed
+    # BA on) — the committed replay-validation analogue
+    # (/root/reference/README.md:59-67; drift metric = KITTI devkit rule)
+    sys.path.insert(0, str(Path(__file__).parent / "scripts"))
+    from longrun_sim import run_longrun
+
+    longrun = run_longrun(frames=240, noise=0.02, workers=8)
+
     print(json.dumps({
         "metric": "scans_per_sec_per_chip",
         "value": round(headline, 2),
@@ -150,6 +165,13 @@ def main():
         "batch": batch,
         "ms_per_scan_single": round(1e3 / single_rate, 2),
         "synthetic_ate_m": round(ate, 4),
+        "deskew_rate": round(deskew_rate, 2),
+        "deskew_ate_m": round(deskew_ate, 4),
+        "longrun_frames": longrun["frames"],
+        "longrun_ate_m": longrun["longrun_ate_m"],
+        "longrun_ate_odom_m": longrun["longrun_ate_odom_m"],
+        "longrun_drift_pct": longrun["longrun_drift_pct"],
+        "longrun_rate": longrun["longrun_rate"],
         "points_per_scan": int(raw_scans[0]["mask"].sum()),
         "device": str(jax.devices()[0]),
     }))

@@ -217,6 +217,13 @@ class BAConfig:
     window: int = 8
     #: run BA every N new keyframes (once the window is full)
     every: int = 4
+    #: per-keyframe query budgets inside the BA window: PREFIX slices of
+    #: the stored feature clouds (edge is rank-major strongest-first, surf
+    #: bit-reversed-azimuth — both orders subsample uniformly). At the full
+    #: scan budgets each window solve costs ~window/2 odometry steps of
+    #: device time; refinement doesn't need that factor density.
+    edge_budget: int = 1024
+    surf_budget: int = 2048
     #: GN iterations per window solve
     iters: int = 4
     #: weight on the odometry chain priors (vs unit-weight feature factors)

@@ -24,13 +24,21 @@ import numpy as np
 from .pcd import write_pcd
 
 
+def _quat_to_mat_np(q_wxyz: np.ndarray) -> np.ndarray:
+    """Pure-NumPy wxyz quaternion -> rotation matrix (f64). Exporters call
+    this per pose; a device dispatch here costs a host-device round trip
+    per pose at export time."""
+    w, x, y, z = np.asarray(q_wxyz, np.float64)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def _pose_matrix(q_wxyz: np.ndarray, t: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
-
-    from ..ops import se3
-
     m = np.eye(4)
-    m[:3, :3] = np.asarray(se3.quat_to_mat(jnp.asarray(q_wxyz, jnp.float64)))
+    m[:3, :3] = _quat_to_mat_np(q_wxyz)
     m[:3, 3] = t
     return m
 
@@ -91,12 +99,35 @@ def _write_matrix(f, m: np.ndarray) -> None:
 
 
 def _mat_to_quat_xyzw(R: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
-
-    from ..ops import se3
-
-    q = np.asarray(se3.mat_to_quat(jnp.asarray(R, jnp.float64)))
-    return np.array([q[1], q[2], q[3], q[0]])
+    """Pure-NumPy rotation matrix -> xyzw quaternion (Shepperd's method:
+    branch on the largest of trace/diagonal for stability)."""
+    R = np.asarray(R, np.float64)
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    return np.array([x, y, z, w])
 
 
 def save_odom(directory, quats, trans, stamps,
@@ -137,16 +168,13 @@ def save_balm(directory, quats, trans, stamps,
 
 def transform_clouds(clouds: Sequence[np.ndarray], quats, trans
                      ) -> List[np.ndarray]:
-    """Sensor-frame clouds -> world frame by their per-scan poses."""
-    import jax.numpy as jnp
-
-    from ..ops import se3
-
+    """Sensor-frame clouds -> world frame by their per-scan poses.
+    Pure NumPy: a device dispatch per cloud costs a round trip per frame."""
     out = []
     for cloud, q, t in zip(clouds, quats, trans):
-        xyz = jnp.asarray(cloud[:, :3])
-        w = np.asarray(se3.quat_rotate(jnp.asarray(q, xyz.dtype)[None], xyz)
-                       + jnp.asarray(t, xyz.dtype))
+        R = _quat_to_mat_np(q)
+        w = (cloud[:, :3].astype(np.float64) @ R.T
+             + np.asarray(t, np.float64)).astype(np.float32)
         if cloud.shape[1] > 3:
             w = np.concatenate([w, cloud[:, 3:]], axis=1)
         out.append(w)
@@ -159,8 +187,6 @@ def save_merged(directory, clouds: Sequence[np.ndarray], quats, trans,
     SENSOR-frame clouds and their poses, with the reference's file names
     (SaveMerged, odomEstimationNode.cpp:66-96: floam_merged.pcd +
     floam_merged_downsampled_leaf_<size>.pcd)."""
-    import jax.numpy as jnp
-
     from ..ops import voxel
 
     directory = Path(directory)
@@ -170,11 +196,7 @@ def save_merged(directory, clouds: Sequence[np.ndarray], quats, trans,
     merged = np.concatenate(
         [c[:, :3] for c in transform_clouds(clouds, quats, trans)])
     write_pcd(directory / "floam_merged.pcd", merged)
-    cap = max(1024, len(merged))
-    out_xyz, out_mask, _ = voxel.voxel_downsample(
-        jnp.asarray(merged), jnp.ones(len(merged), bool), downsample_leaf,
-        cap)
-    ds = np.asarray(out_xyz)[np.asarray(out_mask)]
+    ds = voxel.voxel_downsample_np(merged, downsample_leaf)
     write_pcd(directory /
               f"floam_merged_downsampled_leaf_{downsample_leaf:.6f}.pcd", ds)
 
@@ -223,17 +245,22 @@ def save_frame_info(path, frames) -> None:
     """
     import json
 
-    import jax.numpy as jnp
-
-    from ..ops import se3
-
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w") as f:
         for fr in frames:
             q = np.asarray(fr.pose_q, np.float64)
             t = np.asarray(fr.pose_t, np.float64)
-            R = np.asarray(se3.quat_to_mat(jnp.asarray(q)))
+            # pure-NumPy quat->mat: a per-frame device dispatch here costs
+            # a round trip per frame at export time
+            w, x, y, z = q
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x),
+                 1 - 2 * (x * x + y * y)]])
             # ZYX euler (yaw-pitch-roll) initial-guess fields
             yaw = float(np.arctan2(R[1, 0], R[0, 0]))
             pitch = float(np.arcsin(np.clip(-R[2, 0], -1, 1)))

@@ -178,8 +178,6 @@ class KittiSequence:
         ring bucketing with the device loop — the reference's
         subscriber-queue-worker pattern, laserProcessingNode.cpp:33-36,
         80-102); falls back to synchronous NumPy loading otherwise."""
-        import jax.numpy as jnp
-
         native = _load_native()
         if native is not None and self.bin_files:
             ld = self.lidar
@@ -188,9 +186,9 @@ class KittiSequence:
                 ld.min_distance, ld.max_distance, ld.scan_period)
             try:
                 for i, (xyz, inten, t, mask) in enumerate(pf):
-                    yield float(self.times[i]), RingScan(
-                        xyz=jnp.asarray(xyz), intensity=jnp.asarray(inten),
-                        time=jnp.asarray(t), mask=jnp.asarray(mask))
+                    # single packed upload (see RingScan.from_host)
+                    yield float(self.times[i]), RingScan.from_host(
+                        xyz, t, mask, intensity=inten)
             finally:
                 pf.close()
             return

@@ -45,11 +45,34 @@ def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 1).bit_length()
 
 
-class GlobalMap:
-    """Block-sparse world map (host store + device kernels)."""
+def block_owner(key: Tuple[int, int, int], shard_count: int) -> int:
+    """Owner rank of a 50 m block under spatial-hash partitioning: a fixed
+    odd-constant integer mix of the block coordinates (NOT Python hash(),
+    which is per-process salted). Deterministic across hosts, uniform for
+    both gridded and trajectory-following block patterns."""
+    h = (key[0] * 0x9E3779B97F4A7C15 + key[1] * 0xC2B2AE3D27D4EB4F
+         + key[2] * 0x165667B19E3779F9) & 0xFFFFFFFFFFFFFFFF
+    return h % shard_count
 
-    def __init__(self, cfg: MappingConfig):
+
+class GlobalMap:
+    """Block-sparse world map (host store + device kernels).
+
+    Multi-host scale-out (the memory axis the reference lacks — its map is
+    one process's RAM, laserMappingClass.h:26-28): pass ``shard_rank`` /
+    ``shard_count`` and each host stores only the blocks it owns under the
+    spatial hash of :func:`block_owner`. The keyframe (cloud, pose) feed is
+    replicated (every host already has it — it is the odometry input), so
+    NO map bytes ever cross hosts during a run; each 50 m block re-voxelizes
+    independently (C6 has no cross-block reads), so no halo exchange is
+    needed either. Only the final export concatenates shards.
+    """
+
+    def __init__(self, cfg: MappingConfig, shard_rank: int = 0,
+                 shard_count: int = 1):
         self.cfg = cfg
+        self.shard_rank = shard_rank
+        self.shard_count = shard_count
         #: (bx, by, bz) -> (n, 4) float32 [x, y, z, intensity]
         self.blocks: Dict[Tuple[int, int, int], np.ndarray] = {}
         #: blocks with raw (un-revoxelized) appends since their last
@@ -68,10 +91,9 @@ class GlobalMap:
             intensity = jnp.zeros((n,), xyz.dtype)
         world, inten, block = _bin_points(
             xyz, intensity, mask, pose.q, pose.t, self.cfg.cell_size)
-        world = np.asarray(world)
-        inten = np.asarray(inten)
-        block = np.asarray(block)
-        m = np.asarray(mask)
+        # one batched device->host fetch (per-array reads pay a round trip
+        # each on tunneled devices)
+        world, inten, block, m = jax.device_get((world, inten, block, mask))
         world, inten, block = world[m], inten[m], block[m]
 
         # host scatter into blocks: pack (bx,by,bz) into one int64 so the
@@ -94,6 +116,9 @@ class GlobalMap:
             p = packed[s]
             key = (int((p >> 42) & MASK) - OFF, int((p >> 21) & MASK) - OFF,
                    int(p & MASK) - OFF)
+            if self.shard_count > 1 and \
+                    block_owner(key, self.shard_count) != self.shard_rank:
+                continue
             if key in self.blocks:
                 self.blocks[key] = np.concatenate([self.blocks[key],
                                                    pts[s:e]])

@@ -103,6 +103,28 @@ def voxel_downsample(
     return out_xyz, out_mask, out_extra
 
 
+def voxel_downsample_np(xyz, leaf: float):
+    """Host-side centroid-per-voxel downsample for EXPORT paths (NumPy;
+    no capacity cap). Million-point merged-map exports would otherwise run
+    `jnp.argsort` on device — the op class docs/PERFORMANCE.md forbids on
+    the TPU — for a once-per-run host artifact. bincount-based: one sort,
+    no scatter loops."""
+    import numpy as np
+
+    xyz = np.asarray(xyz)
+    if len(xyz) == 0:
+        return xyz
+    cell = np.floor(xyz / leaf).astype(np.int64)
+    OFF = 1 << 20
+    packed = (((cell[:, 0] + OFF) << 42) | ((cell[:, 1] + OFF) << 21)
+              | (cell[:, 2] + OFF))
+    _, inv = np.unique(packed, return_inverse=True)
+    counts = np.bincount(inv).astype(xyz.dtype)
+    out = np.stack([np.bincount(inv, weights=xyz[:, k]) for k in range(3)],
+                   axis=1)
+    return (out / counts[:, None]).astype(xyz.dtype)
+
+
 def crop_mask(xyz: jnp.ndarray, mask: jnp.ndarray, center: jnp.ndarray,
               radius) -> jnp.ndarray:
     """Axis-aligned box crop: keep points with |p - center|_inf <= radius."""

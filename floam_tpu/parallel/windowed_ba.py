@@ -148,7 +148,11 @@ def ba_refine(p: BAProblem, cfg: OdomConfig, iters: int = 4,
         if fix_first:
             # gauge fix: huge prior on delta_0 = 0
             H = H.at[:6, :6].add(gauge * jnp.eye(6, dtype=dtype))
-        delta = -jnp.linalg.solve(H, b).reshape(K, 6)
+        # H is SPD (GN + damping + gauge): Cholesky. jnp.linalg.solve's LU
+        # custom call costs ~19 ms per 48x48 solve on this TPU runtime vs
+        # 0.07 ms for cho_solve — it was the entire BA window cost.
+        delta = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H), b).reshape(K, 6)
         q2, t2 = jax.vmap(se3.pose_retract_right)(prob.quats, prob.trans, delta)
         return prob._replace(quats=q2, trans=t2)
 

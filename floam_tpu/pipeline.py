@@ -270,10 +270,23 @@ class Pipeline:
         return rec
 
     def _flush_clouds(self) -> None:
-        """Move pending device cloud buffers to host (valid points only)."""
-        for edge, surf in self._pending_clouds:
+        """Move pending device cloud buffers to host (valid points only).
+
+        All pending frames are stacked ON DEVICE and fetched as ONE
+        transfer: per-array readbacks pay a full host-device round trip
+        each (tens of ms on a tunneled TPU), which at 2 arrays x 2 sides x
+        32 frames made each flush cost seconds."""
+        if not self._pending_clouds:
+            return
+        e_xyz = jnp.stack([e.xyz for e, _ in self._pending_clouds])
+        e_mask = jnp.stack([e.mask for e, _ in self._pending_clouds])
+        s_xyz = jnp.stack([s.xyz for _, s in self._pending_clouds])
+        s_mask = jnp.stack([s.mask for _, s in self._pending_clouds])
+        e_xyz, e_mask, s_xyz, s_mask = jax.device_get(
+            (e_xyz, e_mask, s_xyz, s_mask))
+        for i in range(len(self._pending_clouds)):
             self.clouds.append(np.concatenate(
-                [edge.to_numpy_valid(), surf.to_numpy_valid()]))
+                [e_xyz[i][e_mask[i]], s_xyz[i][s_mask[i]]]))
         self._pending_clouds.clear()
 
     def sensor_clouds(self) -> List[np.ndarray]:
@@ -289,6 +302,39 @@ class Pipeline:
             return 0.0
         return float(np.mean(self._times_ms[1:])) if len(self._times_ms) > 1 \
             else self._times_ms[0]
+
+    def keyframe_flags(self) -> np.ndarray:
+        """(N,) bool keyframe gate per frame. Device-backed flags are
+        fetched as ONE stacked transfer and cached back into the records
+        (a per-record read costs a host-device round trip each)."""
+        dev = [f for f in self.frames
+               if not isinstance(f._kf, (bool, np.bool_))]
+        if dev:
+            fetched = jax.device_get(jnp.stack([f._kf for f in dev]))
+            for f, v in zip(dev, fetched):
+                f._kf = bool(v)
+        return np.asarray([bool(f._kf) for f in self.frames])
+
+    def materialize_records(self) -> None:
+        """Fetch every device-backed frame-record field to host in a few
+        stacked transfers (pose, keyframe flag, factor counts) and cache
+        them back, so per-frame record reads during export never pay a
+        device round trip each."""
+        dev = [f for f in self.frames if not isinstance(f._q, np.ndarray)]
+        if dev:
+            qs, ts = jax.device_get((jnp.stack([f._q for f in dev]),
+                                     jnp.stack([f._t for f in dev])))
+            for f, q, t in zip(dev, qs, ts):
+                f._q, f._t = q, t
+        self.keyframe_flags()
+        dev = [f for f in self.frames
+               if f._n_edge is not None
+               and not isinstance(f._n_edge, (int, np.integer))]
+        if dev:
+            ne, ns = jax.device_get((jnp.stack([f._n_edge for f in dev]),
+                                     jnp.stack([f._n_surf for f in dev])))
+            for f, a, b in zip(dev, ne, ns):
+                f._n_edge, f._n_surf = int(a), int(b)
 
     def trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(stamps (N,), quats (N,4) wxyz, trans (N,3)); one batched

@@ -16,6 +16,7 @@ import time
 from pathlib import Path
 from typing import Iterable, Iterator, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,34 +28,44 @@ from .utils.checkpoint import save_checkpoint
 from .utils.profiling import RateMeter
 
 
-def _watchdog_iter(source: Iterable, timeout_s: float) -> Iterator:
-    """Producer-thread wrapper that ends the stream after ``timeout_s`` of
-    silence from the source (the reference's keep_running watchdog)."""
+def _producer_iter(source: Iterable, timeout_s: Optional[float] = None,
+                   depth: int = 4) -> Iterator:
+    """Producer-thread wrapper: the source is iterated on a background
+    thread so its work — scan generation, disk reads, host->device
+    uploads (RingScan.from_host inside a lazy generator) — overlaps the
+    consumer's device loop. This is the reference's subscriber-queue
+    pattern (laserProcessingNode.cpp:33-36,80-102); the bounded queue is
+    the back-pressure. With ``timeout_s`` it doubles as the liveness
+    watchdog (keep_running, odomEstimationNode.cpp:170-174): silence that
+    long ends the stream gracefully."""
     import queue
     import threading
 
-    q: "queue.Queue" = queue.Queue(maxsize=16)
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     _END = object()
+    err: list = []
 
     def pump():
         try:
             for item in source:
                 q.put(item)
-        finally:
-            q.put(_END)
+        except BaseException as e:
+            err.append(e)
+        q.put(_END)
 
     t = threading.Thread(target=pump, daemon=True)
     t.start()
-    import queue as _qmod
 
     while True:
         try:
             item = q.get(timeout=timeout_s)
-        except _qmod.Empty:
+        except queue.Empty:
             print(f"[floam_tpu] no data for {timeout_s:.1f}s — "
                   "stopping and saving", flush=True)
             return
         if item is _END:
+            if err:  # re-raise source failures in the consumer, not the
+                raise err[0]  # thread — a silently truncated run is drift
             return
         yield item
 
@@ -75,7 +86,9 @@ class SequenceRunner:
     def __init__(self, cfg: FloamConfig, dtype=jnp.float32,
                  with_global_map: bool = False,
                  output_dir: Optional[str] = None,
-                 checkpoint_every: int = 0):
+                 checkpoint_every: int = 0,
+                 kf_check_every: int = 8,
+                 viz_dir: Optional[str] = None, viz_every: int = 20):
         self.cfg = cfg
         ec = cfg.export
         # cloud-bearing exports and windowed BA need the per-scan registered
@@ -88,6 +101,19 @@ class SequenceRunner:
         self.global_map = GlobalMap(cfg.mapping) if with_global_map else None
         self.output_dir = Path(output_dir) if output_dir else None
         self.checkpoint_every = checkpoint_every
+        #: frames between keyframe-flag readbacks: each device->host fetch
+        #: costs a full round trip (tens of ms on a tunneled TPU), so the
+        #: flags of the last N frames are fetched as ONE stacked transfer
+        #: and the keyframe work (global map feed, BA windows) drains in
+        #: batches. Semantically identical — only the flag READ is delayed.
+        self.kf_check_every = max(1, kf_check_every)
+        #: live visualization sink (the rviz/-/map-republish analogue, C12)
+        self.viz = None
+        if viz_dir:
+            from .viz import LiveViz
+
+            self.viz = LiveViz(viz_dir, every=viz_every)
+        self.viz_every = max(1, viz_every)
         self.meter = RateMeter()
         # --- in-loop windowed BA (cfg.ba): sliding keyframe window whose
         # refined poses feed the EXPORTED trajectory/posegraph; the live
@@ -137,28 +163,29 @@ class SequenceRunner:
         triggers a graceful stop-and-save, src/odomEstimationNode.cpp:
         170-174): when the source yields nothing for that long, the run
         ends and exports are still written."""
-        if idle_timeout_s is not None:
-            scans = _watchdog_iter(scans, idle_timeout_s)
+        scans = _producer_iter(scans, timeout_s=idle_timeout_s)
         n = 0
-        # Keyframe-gated work (global map feed, BA window) is deferred by
-        # ONE frame: reading rec.is_keyframe right after process() blocks
-        # the host on the device step it just dispatched, serializing the
-        # loop (the bench's sync-free loop was ~15% faster than the runner
-        # for exactly this reason). Checking frame n-1's flag after frame
-        # n's step is in flight costs nothing — that result is already
-        # materialized by the time step n finishes.
+        # Keyframe-gated work (global map feed, BA window) drains in
+        # batches of kf_check_every frames: reading rec.is_keyframe right
+        # after process() blocks the host on the step it just dispatched
+        # AND pays a device->host round trip per frame — at tunneled-TPU
+        # latencies that serialized the loop to ~1/10 of the device rate.
         track_kf = (self.global_map is not None) or self.cfg.ba.enabled
-        pending = None  # (frame_idx, rec, scan?, clouds)
+        pending: list = []  # [(frame_idx, rec, scan?, clouds)]
+        t_loop0 = time.perf_counter()
         for stamp, scan in scans:
             with self.meter.frame():
                 rec = self.pipe.process(scan, stamp)
                 if track_kf:
-                    if pending is not None:
-                        self._handle_keyframe(*pending)
-                    pending = (len(self.pipe.frames) - 1, rec,
-                               scan if self.global_map is not None else None,
-                               self.pipe.last_clouds)
+                    pending.append(
+                        (len(self.pipe.frames) - 1, rec,
+                         scan if self.global_map is not None else None,
+                         self.pipe.last_clouds))
+                    if len(pending) >= self.kf_check_every:
+                        self._drain_keyframes(pending)
             n += 1
+            if self.viz is not None and n % self.viz_every == 0:
+                self._viz_update(stamp)
             if progress_every and n % progress_every == 0:
                 s = self.meter.summary()
                 print(f"[floam_tpu] frame {n}: "
@@ -167,18 +194,22 @@ class SequenceRunner:
             if (self.checkpoint_every and self.output_dir
                     and n % self.checkpoint_every == 0):
                 st, qs, ts = self.pipe.trajectory()
-                kf = np.asarray([f.is_keyframe for f in self.pipe.frames])
                 save_checkpoint(self.output_dir / "checkpoint.npz",
                                 self.pipe.state, st, qs, ts,
-                                global_map=self.global_map, kf_flags=kf,
+                                global_map=self.global_map,
+                                kf_flags=self.pipe.keyframe_flags(),
                                 imu=self.pipe.imu)
 
-        if pending is not None:
-            self._handle_keyframe(*pending)
+        self._drain_keyframes(pending)
+        if n and self.pipe._initialized:
+            jax.block_until_ready(self.pipe.state.pose.t)
+        # wall-clock rate over the whole loop INCLUDING the final device
+        # drain — per-frame meter samples measure only dispatch latency
+        # when nothing syncs, which would overstate throughput wildly
+        wall = time.perf_counter() - t_loop0
         st, qs, ts = self.pipe.trajectory()
         result = RunResult(stamps=st, quats=qs, trans=ts,
-                           scans_per_sec=self.meter.summary().get(
-                               "scans_per_sec", 0.0))
+                           scans_per_sec=(n / wall if wall > 0 else 0.0))
         if self._ba_poses:
             result.quats, result.trans = self._apply_ba(qs, ts)
         if gt is not None:
@@ -201,12 +232,46 @@ class SequenceRunner:
     # Windowed BA (cfg.ba)
     # ------------------------------------------------------------------
 
-    def _handle_keyframe(self, frame_idx: int, rec, scan, clouds) -> None:
-        """Deferred per-keyframe work for frame ``frame_idx`` (see run():
-        the is_keyframe read happens one frame late to avoid a per-frame
-        host-device sync)."""
-        if not rec.is_keyframe:
+    def _drain_keyframes(self, pending: list) -> None:
+        """Batched deferred keyframe work (see run()): ONE stacked transfer
+        fetches the pending frames' keyframe flags, then each keyframe's
+        global-map feed / BA window runs in frame order. The fetched flag
+        is cached back into the record so later reads (checkpoint, export)
+        never touch the device again."""
+        if not pending:
             return
+        flags, qs, ts = jax.device_get(
+            (jnp.stack([r._kf for _, r, _, _ in pending]),
+             jnp.stack([r._q for _, r, _, _ in pending]),
+             jnp.stack([r._t for _, r, _, _ in pending])))
+        for (idx, rec, scan, clouds), kf, q, t in zip(pending, flags, qs,
+                                                      ts):
+            rec._kf, rec._q, rec._t = bool(kf), q, t
+            if rec._kf:
+                self._handle_keyframe(idx, rec, scan, clouds)
+        pending.clear()
+
+    def _viz_update(self, stamp: float) -> None:
+        """Publish a live snapshot (trajectory + map) — the analogue of the
+        reference's /map republish + hector trajectory display, but
+        rate-limited and bounded instead of O(whole map) every frame."""
+        from . import odometry
+
+        self.pipe.materialize_records()
+        if not self.pipe.frames:
+            return
+        traj = np.stack([np.asarray(f._t) for f in self.pipe.frames])
+        if self.global_map is not None and self.global_map.num_points:
+            pts = self.global_map.get_map()
+        else:
+            edge, surf = odometry.get_map_points(self.pipe.state)
+            pts = np.concatenate([edge.to_numpy_valid(),
+                                  surf.to_numpy_valid()])
+        self.viz.update(traj, pts, stamp=stamp,
+                        scans_per_sec=self.meter.summary().get(
+                            "scans_per_sec", 0.0), force=True)
+
+    def _handle_keyframe(self, frame_idx: int, rec, scan, clouds) -> None:
         if self.global_map is not None and scan is not None:
             xyz = np.asarray(scan.xyz).reshape(-1, 3)
             mask = np.asarray(scan.mask).reshape(-1)
@@ -247,16 +312,18 @@ class SequenceRunner:
                 window_ba_from_clouds, oc=self.cfg.odom, iters=bc.iters,
                 prior_weight=bc.prior_weight, damping=bc.damping))
         idxs = [i for i, _, _ in self._kf_window]
-        e_xyz = jnp.stack([e.xyz for _, e, _ in self._kf_window])
-        e_mask = jnp.stack([e.mask for _, e, _ in self._kf_window])
-        s_xyz = jnp.stack([s.xyz for _, _, s in self._kf_window])
-        s_mask = jnp.stack([s.mask for _, _, s in self._kf_window])
+        # prefix-sliced BA query budgets (see BAConfig.edge_budget)
+        eb, sb = bc.edge_budget, bc.surf_budget
+        e_xyz = jnp.stack([e.xyz[:eb] for _, e, _ in self._kf_window])
+        e_mask = jnp.stack([e.mask[:eb] for _, e, _ in self._kf_window])
+        s_xyz = jnp.stack([s.xyz[:sb] for _, _, s in self._kf_window])
+        s_mask = jnp.stack([s.mask[:sb] for _, _, s in self._kf_window])
         quats = jnp.stack([self.pipe.frames[i]._q for i in idxs])
         trans = jnp.stack([self.pipe.frames[i]._t for i in idxs])
         q2, t2 = self._ba_fn(self.pipe.state.map, e_xyz, e_mask, s_xyz,
                              s_mask, quats, trans)
-        q2 = np.asarray(q2)
-        t2 = np.asarray(t2)
+        # keep the refined poses device-side: syncing here costs a host
+        # round trip per window; _apply_ba fetches them all at export
         for j, i in enumerate(idxs):
             self._ba_poses[i] = (q2[j], t2[j])
 
@@ -273,8 +340,8 @@ class SequenceRunner:
         from .ops import se3
 
         kf = np.asarray(sorted(self._ba_poses), np.int64)
-        rq = jnp.asarray(np.stack([self._ba_poses[i][0] for i in kf]))
-        rt = jnp.asarray(np.stack([self._ba_poses[i][1] for i in kf]))
+        rq = jnp.stack([jnp.asarray(self._ba_poses[i][0]) for i in kf])
+        rt = jnp.stack([jnp.asarray(self._ba_poses[i][1]) for i in kf])
         # frame j applies the delta of the latest refined keyframe <= j
         # (identity before the first): slot -1 -> prepended identity row
         slot = np.searchsorted(kf, np.arange(len(quats)), side="right")
@@ -303,6 +370,9 @@ class SequenceRunner:
         out = self.output_dir
         out.mkdir(parents=True, exist_ok=True)
         ec = self.cfg.export
+        # one batched device->host fetch of all record fields up front
+        # (per-frame reads below would pay a round trip each)
+        self.pipe.materialize_records()
         ex.save_kitti_trajectory(out / "trajectory_kitti.txt", result.quats,
                                  result.trans)
         ex.save_frame_info(out / "frame_info.jsonl", self.pipe.frames)
@@ -317,8 +387,8 @@ class SequenceRunner:
         if ec.save_posegraph:
             # keyframe-gated vertices with their clouds (SavePosegraph,
             # utils.cpp:3-78 — the reference also dumps per-keyframe dirs)
-            kf = [i for i, fr in enumerate(self.pipe.frames[:n])
-                  if fr.is_keyframe] or list(range(n))
+            flags = self.pipe.keyframe_flags()[:n]
+            kf = [i for i in range(n) if flags[i]] or list(range(n))
             ex.save_posegraph(out / "posegraph",
                               result.quats[kf], result.trans[kf],
                               result.stamps[kf],

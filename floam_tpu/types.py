@@ -34,6 +34,26 @@ class RingScan(NamedTuple):
     def capacity(self) -> int:
         return self.xyz.shape[1]
 
+    @staticmethod
+    def from_host(xyz: np.ndarray, time: np.ndarray, mask: np.ndarray,
+                  intensity: Optional[np.ndarray] = None) -> "RingScan":
+        """Build a device RingScan from host arrays with ONE host->device
+        transfer: the fields are packed into a single (R, C, 5|6) plane and
+        split by cheap device slices. Separate per-field uploads are
+        LATENCY-bound (a full host-device round trip each — tens of ms per
+        frame through a tunneled TPU), not bandwidth-bound."""
+        planes = [np.asarray(xyz, np.float32),
+                  np.asarray(time, np.float32)[..., None],
+                  np.asarray(mask, np.float32)[..., None]]
+        if intensity is not None:
+            planes.append(np.asarray(intensity, np.float32)[..., None])
+        d = jnp.asarray(np.concatenate(planes, axis=-1))
+        R, C = d.shape[0], d.shape[1]
+        inten = d[..., 5] if intensity is not None else \
+            jnp.zeros((R, C), jnp.float32)
+        return RingScan(xyz=d[..., :3], intensity=inten, time=d[..., 3],
+                        mask=d[..., 4] > 0.5)
+
 
 class PointBatch(NamedTuple):
     """A flat masked point set. Shapes: xyz (N, 3); rest (N,)."""

@@ -42,14 +42,9 @@ def run_longrun(frames: int = 240, noise: float = 0.0, azimuth_steps: int = 720,
                                 workers=workers)
     gen_s = time.perf_counter() - t0
 
-    R, C = cfg.lidar.num_lines, cfg.lidar.points_per_ring
-    zeros_i = jnp.zeros((R, C), jnp.float32)
-
     def scan_stream():
         for i, (xyz, tm, mask) in enumerate(raw):
-            yield 0.1 * i, RingScan(xyz=jnp.asarray(xyz), intensity=zeros_i,
-                                    time=jnp.asarray(tm),
-                                    mask=jnp.asarray(mask))
+            yield 0.1 * i, RingScan.from_host(xyz, tm, mask)
 
     if not ba:
         cfg = cfg.replace(ba=cfg.ba.__class__(enabled=False))

@@ -47,6 +47,34 @@ def test_global_map_pose_transform(rng):
     assert got == want
 
 
+def test_global_map_spatial_sharding_exact(rng):
+    """Two spatial-hash shards fed the SAME (replicated) keyframe stream
+    must partition the unsharded map exactly: disjoint block ownership,
+    and the union of shard exports equals the single-host map point for
+    point (the multi-host scale-out of C6 — block storage is partitioned,
+    the input feed is replicated, nothing crosses hosts mid-run)."""
+    cfg = small_map_cfg()
+    full = mapping.GlobalMap(cfg)
+    shards = [mapping.GlobalMap(cfg, shard_rank=r, shard_count=2)
+              for r in range(2)]
+    poses = [Pose(q=jnp.asarray([1.0, 0, 0, 0]),
+                  t=jnp.asarray([4.0 * i, 0.0, 0.0])) for i in range(4)]
+    for i, pose in enumerate(poses):
+        pts = jnp.asarray(rng.uniform(-12, 12, size=(3000, 3)))
+        full.update(pts, pose)
+        for s in shards:
+            s.update(pts, pose)
+
+    keys = [set(s.blocks) for s in shards]
+    assert keys[0].isdisjoint(keys[1])
+    assert keys[0] | keys[1] == set(full.blocks)
+    for key in full.blocks:
+        owner = shards[mapping.block_owner(key, 2)]
+        np.testing.assert_array_equal(owner.blocks[key], full.blocks[key])
+    # ownership is reasonably balanced for this block pattern
+    assert min(len(k) for k in keys) >= len(full.blocks) // 5
+
+
 def test_global_map_accumulates_and_downsamples(rng):
     cfg = small_map_cfg()
     gm = mapping.GlobalMap(cfg)

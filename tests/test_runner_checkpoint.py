@@ -136,6 +136,52 @@ def test_checkpoint_config_mismatch(tmp_path, rng):
         checkpoint.load_checkpoint(tmp_path / "ck.npz", template)
 
 
+def test_live_viz_snapshots(tmp_path):
+    """LiveViz publishes a self-contained viewer + polling JSON snapshot +
+    PCDs (the C12 rviz analogue: /map republish + trajectory display,
+    laserMappingNode.cpp:85-92) — rate-limited, atomic, bounded payload."""
+    import json as _json
+
+    from floam_tpu.viz import LiveViz
+
+    viz = LiveViz(tmp_path / "viz", every=2, map_sample=100)
+    rng = np.random.default_rng(0)
+    traj = np.cumsum(rng.normal(0, 0.1, (5, 3)), axis=0)
+    pts = rng.uniform(-10, 10, (5000, 4)).astype(np.float32)
+    assert not viz.update(traj, pts)  # rate-limited: frame 1 skipped
+    assert viz.update(traj, pts, stamp=0.2, scans_per_sec=42.0)
+    assert (tmp_path / "viz" / "viewer.html").exists()
+    data = _json.loads((tmp_path / "viz" / "live.json").read_text())
+    assert data["scans_per_sec"] == 42.0
+    assert len(data["traj"]) == 5
+    assert len(data["map_xy"]) == 2 * len(data["map_h"])
+    assert len(data["map_h"]) <= 110  # bounded sample
+    assert (tmp_path / "viz" / "map.pcd").exists()
+    assert (tmp_path / "viz" / "trajectory.pcd").exists()
+
+
+@pytest.mark.slow
+def test_runner_viz_integration(tmp_path):
+    """SequenceRunner with viz_dir publishes live snapshots during a run."""
+    import json as _json
+
+    cfg = small_config()
+    world = sim.World.room(size=18.0, height=4.0, num_poles=8, seed=0)
+    gt = sim.spiral_trajectory(4, step=0.1)
+
+    def gen():
+        for i, (q, t) in enumerate(gt):
+            yield i * 0.1, sim.simulate_scan(world, q, t, cfg.lidar,
+                                             azimuth_steps=360, seed=i)
+
+    runner = SequenceRunner(cfg, dtype=jnp.float64,
+                            viz_dir=tmp_path / "viz", viz_every=2)
+    runner.run(gen())
+    data = _json.loads((tmp_path / "viz" / "live.json").read_text())
+    assert len(data["traj"]) >= 2
+    assert len(data["map_h"]) > 0
+
+
 @pytest.mark.slow
 def test_runner_resume_matches_uninterrupted(tmp_path):
     """A run interrupted at frame k and resumed via

@@ -48,3 +48,17 @@ def test_crop_mask():
     pts = jnp.asarray([[0.0, 0, 0], [101, 0, 0], [-99, 50, -99], [0, 0, 100.5]])
     m = voxel.crop_mask(pts, jnp.ones(4, bool), jnp.zeros(3), 100.0)
     assert np.asarray(m).tolist() == [True, False, True, False]
+
+
+def test_voxel_downsample_np_matches_device(rng):
+    """The host-side export downsample must produce the same centroid set
+    as the device version (order-insensitive)."""
+    pts = rng.uniform(-5, 5, size=(4000, 3))
+    out_xyz, out_mask, _ = voxel.voxel_downsample(
+        jnp.asarray(pts), jnp.ones(len(pts), bool), 0.5, 4096)
+    dev = np.asarray(out_xyz)[np.asarray(out_mask)]
+    host = voxel.voxel_downsample_np(pts, 0.5)
+    assert len(host) == len(dev)
+    dev_sorted = dev[np.lexsort(dev.T)]
+    host_sorted = host[np.lexsort(host.T)]
+    np.testing.assert_allclose(host_sorted, dev_sorted, atol=1e-6)
