@@ -130,6 +130,14 @@ class OdomConfig:
     #: moral equivalent, and the dominant cost on TPU.
     gather_per_round: bool = False
     assoc_margin: float = 0.25
+    #: per-round re-rank implementation: "xla" (candidate_d2 + select_k_mask
+    #: + fused-moment fits), "pallas" (ops.assoc_kernel: the same chain in
+    #: one VMEM-resident pass over the candidate planes — one HBM read of
+    #: the planes per round instead of several; A/B numbers in
+    #: docs/PERFORMANCE.md), or "auto" (pallas on accelerators, xla on CPU —
+    #: Pallas interpret mode is orders of magnitude too slow for the CPU
+    #: test/virtual-mesh paths, and the backends agree to float tolerance)
+    assoc_backend: str = "auto"
     #: cap on per-voxel running-mean weight in the hash map (bounds how
     #: slowly a voxel centroid adapts; the reference re-averages the whole
     #: map every keyframe instead)

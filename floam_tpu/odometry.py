@@ -25,6 +25,7 @@ any sorted-structure design).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Tuple
 
@@ -115,6 +116,20 @@ init_map = functools.partial(jax.jit, static_argnames=("cfg",),
 # Association + solve
 # ---------------------------------------------------------------------------
 
+def pin_assoc_backend(cfg: FloamConfig, platform: str) -> FloamConfig:
+    """Resolve OdomConfig.assoc_backend == "auto" against the platform a
+    computation will ACTUALLY run on. jax.default_backend() is wrong for
+    shard_map meshes built on explicit CPU devices while the process
+    default is a TPU (the virtual-device dryrun / multi-process gloo
+    tests); mesh-based factories call this with their mesh's platform."""
+    oc = cfg.odom
+    if oc.assoc_backend != "auto":
+        return cfg
+    backend = "xla" if platform == "cpu" else "pallas"
+    return dataclasses.replace(
+        cfg, odom=dataclasses.replace(oc, assoc_backend=backend))
+
+
 def _combine_axes(shard_axis, query_axis):
     """Joint psum axis spec for the normal-equation reduction: collectives
     take a name or a tuple of names."""
@@ -199,21 +214,35 @@ def _solve_from_candidates(pose: Pose, cand_e, d2_e, cand_s, d2_s,
     (any round after the pose moved)."""
     k = oc.k_neighbors
     pw_edge = se3.quat_rotate(pose.q[None, :], edge_xyz) + pose.t
-    if d2_e is None:
-        d2_e = voxelmap.candidate_d2(cand_e, pw_edge)
-    kth_e, win_e = voxelmap.select_k_mask(d2_e, k)
-    ef = residuals.edge_association_fused(
-        edge_xyz, pw_edge, cand_e, win_e, kth_e, k, oc.nn_radius_sq,
-        oc.edge_eig_ratio, oc.line_half_length)
-    ef = ef._replace(valid=ef.valid & edge_mask)
-
     pw_surf = se3.quat_rotate(pose.q[None, :], surf_xyz) + pose.t
-    if d2_s is None:
-        d2_s = voxelmap.candidate_d2(cand_s, pw_surf)
-    kth_s, win_s = voxelmap.select_k_mask(d2_s, k)
-    sf = residuals.surf_association_fused(
-        surf_xyz, pw_surf, cand_s, win_s, kth_s, k, oc.nn_radius_sq,
-        oc.plane_fit_tol)
+    backend = oc.assoc_backend
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if backend == "pallas":
+        # fused single-pass re-rank (ops.assoc_kernel): the precomputed
+        # first-round d2 is ignored — recomputing it in-kernel is free
+        # relative to re-reading the planes
+        from .ops import assoc_kernel
+        ef = assoc_kernel.edge_association_kernel(
+            edge_xyz, pw_edge, cand_e, k, oc.nn_radius_sq,
+            oc.edge_eig_ratio, oc.line_half_length)
+        sf = assoc_kernel.surf_association_kernel(
+            surf_xyz, pw_surf, cand_s, k, oc.nn_radius_sq,
+            oc.plane_fit_tol)
+    else:
+        if d2_e is None:
+            d2_e = voxelmap.candidate_d2(cand_e, pw_edge)
+        kth_e, win_e = voxelmap.select_k_mask(d2_e, k)
+        ef = residuals.edge_association_fused(
+            edge_xyz, pw_edge, cand_e, win_e, kth_e, k, oc.nn_radius_sq,
+            oc.edge_eig_ratio, oc.line_half_length)
+        if d2_s is None:
+            d2_s = voxelmap.candidate_d2(cand_s, pw_surf)
+        kth_s, win_s = voxelmap.select_k_mask(d2_s, k)
+        sf = residuals.surf_association_fused(
+            surf_xyz, pw_surf, cand_s, win_s, kth_s, k, oc.nn_radius_sq,
+            oc.plane_fit_tol)
+    ef = ef._replace(valid=ef.valid & edge_mask)
     sf = sf._replace(valid=sf.valid & surf_mask)
 
     return gn.solve_pose(pose, ef, sf, oc, shard_axis=shard_axis)

@@ -47,6 +47,7 @@ def make_sharded_odom_step(mesh: Mesh, cfg: FloamConfig, axis: str = "dp"):
     -efficiency benchmark measures exactly this.
     """
     spec = P(axis)
+    cfg = odometry.pin_assoc_backend(cfg, mesh.devices.flat[0].platform)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),

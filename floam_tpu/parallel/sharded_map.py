@@ -72,6 +72,7 @@ def make_map_sharded_step(mesh: Mesh, cfg: FloamConfig, axis: str = "mp",
     traffic over DCN."""
     n = mesh.shape[axis]
     qn = mesh.shape[query_axis] if query_axis else 1
+    cfg = odometry.pin_assoc_backend(cfg, mesh.devices.flat[0].platform)
     sspec = _state_spec(axis, cfg)
 
     @functools.partial(
