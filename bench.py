@@ -172,6 +172,7 @@ def main():
         "longrun_ate_odom_m": longrun["longrun_ate_odom_m"],
         "longrun_drift_pct": longrun["longrun_drift_pct"],
         "longrun_rate": longrun["longrun_rate"],
+        "longrun_rate_steady": longrun["longrun_rate_steady"],
         "points_per_scan": int(raw_scans[0]["mask"].sum()),
         "device": str(jax.devices()[0]),
     }))

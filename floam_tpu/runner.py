@@ -80,6 +80,10 @@ class RunResult:
     ate_odom: Optional[float] = None
     drift_pct: Optional[float] = None
     scans_per_sec: float = 0.0
+    #: wall rate with compile-stall frames excluded (frames whose host-side
+    #: sample exceeds 10x the median are first-use jit compiles / cache
+    #: loads; a 240-frame run spends most of its wall in a handful of them)
+    scans_per_sec_steady: float = 0.0
 
 
 class SequenceRunner:
@@ -208,8 +212,18 @@ class SequenceRunner:
         # when nothing syncs, which would overstate throughput wildly
         wall = time.perf_counter() - t_loop0
         st, qs, ts = self.pipe.trajectory()
+        samples = np.asarray(self.meter.samples_ms[-n:] if n else [])
+        steady = 0.0
+        if len(samples) >= 8:
+            med = float(np.median(samples))
+            stall = samples > 10.0 * med
+            steady_wall = wall - float(samples[stall].sum()) * 1e-3
+            steady_n = int(n - stall.sum())
+            if steady_n > 0 and steady_wall > 0:
+                steady = steady_n / steady_wall
         result = RunResult(stamps=st, quats=qs, trans=ts,
-                           scans_per_sec=(n / wall if wall > 0 else 0.0))
+                           scans_per_sec=(n / wall if wall > 0 else 0.0),
+                           scans_per_sec_steady=steady)
         if self._ba_poses:
             result.quats, result.trans = self._apply_ba(qs, ts)
         if gt is not None:
@@ -409,6 +423,7 @@ class SequenceRunner:
             **self.meter.summary(),  # timing telemetry (post-warmup)
             "frames": int(len(result.stamps)),
             "scans_per_sec": result.scans_per_sec,
+            "scans_per_sec_steady": result.scans_per_sec_steady,
             "ate_m": result.ate,
             "ate_odom_m": result.ate_odom,
             "ba_windows": len(self._ba_poses),

@@ -61,6 +61,7 @@ def run_longrun(frames: int = 240, noise: float = 0.0, azimuth_steps: int = 720,
         "longrun_drift_pct": round(res.drift_pct, 4)
             if res.drift_pct is not None else None,
         "longrun_rate": round(res.scans_per_sec, 2),
+        "longrun_rate_steady": round(res.scans_per_sec_steady, 2),
         "sim_gen_s": round(gen_s, 1),
     }
 
