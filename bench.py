@@ -23,35 +23,69 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-CACHE = Path(__file__).parent / ".bench_scans.npz"
 NUM_SCANS = 12
 REPS = 4
+#: bump when sim geometry / scan generation semantics change, so stale
+#: caches can never be silently re-benchmarked
+SIM_VERSION = 2
 
 
-def get_scans(cfg):
+def _cache_path(cfg, skew: bool) -> Path:
+    """Cache file keyed on everything that shapes the scans: a silent
+    geometry/config change must miss the cache, not re-benchmark old
+    scans."""
+    import dataclasses
+    import hashlib
+
+    key = repr((SIM_VERSION, NUM_SCANS, skew,
+                dataclasses.asdict(cfg.lidar)))
+    h = hashlib.sha256(key.encode()).hexdigest()[:12]
+    return Path(__file__).parent / f".bench_scans_{h}.npz"
+
+
+def get_scans(cfg, skew: bool = False):
+    """Simulated HDL-64 benchmark scans (cached). ``skew=True`` generates
+    motion-skewed sweeps (continuous 10 m/s translation + 0.2 rad/s yaw
+    during each revolution via sim motion_per_rev) — the input the deskew
+    path exists for (reference README.md:9-16, dataHandler.cpp:82-122)."""
     from floam_tpu import sim
 
-    if CACHE.exists():
-        data = np.load(CACHE)
-        if data["xyz"].shape[0] == NUM_SCANS:
-            return ([dict(xyz=data["xyz"][i], time=data["time"][i],
-                          mask=data["mask"][i]) for i in range(NUM_SCANS)],
-                    data["gt_t"])
+    cache = _cache_path(cfg, skew)
+    if cache.exists():
+        data = np.load(cache)
+        return ([dict(xyz=data["xyz"][i], time=data["time"][i],
+                      mask=data["mask"][i], intensity=data["intensity"][i])
+                 for i in range(NUM_SCANS)], data["gt_t"])
     world = sim.World.room(size=50.0, height=6.0, num_poles=30, seed=0)
-    gt = sim.spiral_trajectory(NUM_SCANS, step=0.15, yaw_rate=0.02,
+    if skew:
+        step, yaw_rate = 1.0, 0.02  # 10 m/s + 0.2 rad/s at 10 Hz
+    else:
+        step, yaw_rate = 0.15, 0.02
+    gt = sim.spiral_trajectory(NUM_SCANS, step=step, yaw_rate=yaw_rate,
                                center_z=1.5)
-    xyzs, times, masks, gts = [], [], [], []
+    period = cfg.lidar.scan_period
+    xyzs, times, masks, intens, gts = [], [], [], [], []
     for i, (q, t) in enumerate(gt):
+        motion = None
+        if skew:
+            # continuous motion matching the inter-frame trajectory step
+            nxt = gt[i + 1][1] if i + 1 < len(gt) else \
+                t + (t - gt[i - 1][1])
+            motion = ((np.asarray(nxt) - np.asarray(t)) / period,
+                      np.array([0.0, 0.0, yaw_rate / period]))
         s = sim.simulate_scan(world, q, t, cfg.lidar, azimuth_steps=1800,
-                              seed=i)
+                              seed=i, motion_per_rev=motion)
         xyzs.append(np.asarray(s.xyz, np.float32))
         times.append(np.asarray(s.time, np.float32))
         masks.append(np.asarray(s.mask))
+        intens.append(np.asarray(s.intensity, np.float32))
         gts.append(t)
-    np.savez_compressed(CACHE, xyz=np.stack(xyzs), time=np.stack(times),
-                        mask=np.stack(masks), gt_t=np.stack(gts))
-    return ([dict(xyz=xyzs[i], time=times[i], mask=masks[i])
-             for i in range(NUM_SCANS)], np.stack(gts))
+    np.savez_compressed(cache, xyz=np.stack(xyzs), time=np.stack(times),
+                        mask=np.stack(masks), intensity=np.stack(intens),
+                        gt_t=np.stack(gts))
+    return ([dict(xyz=xyzs[i], time=times[i], mask=masks[i],
+                  intensity=intens[i]) for i in range(NUM_SCANS)],
+            np.stack(gts))
 
 
 def bench_single(cfg, scans, gt_t):
@@ -128,23 +162,31 @@ def main():
     from floam_tpu.types import RingScan
 
     cfg = FloamConfig.kitti_hdl64()
+
+    def upload(raw):
+        return [RingScan(xyz=jnp.asarray(s["xyz"]),
+                         intensity=jnp.asarray(s["intensity"]),
+                         time=jnp.asarray(s["time"]),
+                         mask=jnp.asarray(s["mask"])) for s in raw]
+
     raw_scans, gt_t = get_scans(cfg)
-    R, C = cfg.lidar.num_lines, cfg.lidar.points_per_ring
-    scans = [RingScan(xyz=jnp.asarray(s["xyz"]),
-                      intensity=jnp.zeros((R, C), jnp.float32),
-                      time=jnp.asarray(s["time"]),
-                      mask=jnp.asarray(s["mask"])) for s in raw_scans]
+    scans = upload(raw_scans)
 
     single_rate, ate = bench_single(cfg, scans, gt_t)
     batch = 8
     batched_rate = bench_batched(cfg, scans, batch=batch)
     headline = max(single_rate, batched_rate)
 
-    # BASELINE config 4: the two-phase IMU-deskew registration
+    # BASELINE config 4: the two-phase deskew registration
     # (UpdatePointsToMapSelector, src/odomEstimationClass.cpp:34-50 —
-    # registers twice per scan, so roughly half the vanilla rate)
+    # registers twice per scan, so roughly half the vanilla rate), run on
+    # MOTION-SKEWED scans — the input deskew exists for (README.md:9-16).
+    # vanilla-on-skewed is the control: deskew must beat it on accuracy.
+    raw_skew, gt_skew = get_scans(cfg, skew=True)
+    skew_scans = upload(raw_skew)
     cfg_deskew = FloamConfig.kitti_hdl64(deskew=True)
-    deskew_rate, deskew_ate = bench_single(cfg_deskew, scans, gt_t)
+    deskew_rate, deskew_ate = bench_single(cfg_deskew, skew_scans, gt_skew)
+    _, skewed_ate_no_deskew = bench_single(cfg, skew_scans, gt_skew)
 
     # Long-horizon accuracy: 240-frame outdoor circuit with revisits and
     # 2 cm range noise, through the full product SequenceRunner (windowed
@@ -167,6 +209,7 @@ def main():
         "synthetic_ate_m": round(ate, 4),
         "deskew_rate": round(deskew_rate, 2),
         "deskew_ate_m": round(deskew_ate, 4),
+        "skewed_ate_no_deskew_m": round(skewed_ate_no_deskew, 4),
         "longrun_frames": longrun["frames"],
         "longrun_ate_m": longrun["longrun_ate_m"],
         "longrun_ate_odom_m": longrun["longrun_ate_odom_m"],

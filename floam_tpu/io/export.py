@@ -181,24 +181,40 @@ def transform_clouds(clouds: Sequence[np.ndarray], quats, trans
     return out
 
 
-def save_merged(directory, clouds: Sequence[np.ndarray], quats, trans,
+def save_merged(directory, clouds, quats, trans,
                 downsample_leaf: float = 0.3) -> None:
     """Merged full map + voxel-downsampled version from the per-scan
-    SENSOR-frame clouds and their poses, with the reference's file names
-    (SaveMerged, odomEstimationNode.cpp:66-96: floam_merged.pcd +
-    floam_merged_downsampled_leaf_<size>.pcd)."""
-    from ..ops import voxel
+    SENSOR-frame XYZI clouds and their poses, with the reference's file
+    names (SaveMerged, odomEstimationNode.cpp:66-96: floam_merged.pcd +
+    floam_merged_downsampled_leaf_<size>.pcd).
+
+    STREAMING: ``clouds`` may be any iterable (e.g. a disk-backed
+    CloudSpool); each scan is transformed, appended to the merged PCD, and
+    folded into the incremental voxel accumulator one at a time, so host
+    RSS stays O(one scan + occupied voxels) regardless of run length —
+    unlike the reference's all-in-RAM concatenate."""
+    from ..ops.voxel import StreamingVoxelDownsample
+    from .pcd import StreamingPcdWriter
 
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
-    if not len(clouds):
+    writer = None
+    acc = StreamingVoxelDownsample(downsample_leaf)
+    for cloud, q, t in zip(clouds, quats, trans):
+        R = _quat_to_mat_np(q)
+        w = (cloud[:, :3].astype(np.float64) @ R.T
+             + np.asarray(t, np.float64)).astype(np.float32)
+        if writer is None:
+            writer = StreamingPcdWriter(directory / "floam_merged.pcd",
+                                        has_intensity=cloud.shape[1] > 3)
+        writer.append(w, cloud[:, 3] if cloud.shape[1] > 3 else None)
+        acc.add(w)
+    if writer is None:
         return
-    merged = np.concatenate(
-        [c[:, :3] for c in transform_clouds(clouds, quats, trans)])
-    write_pcd(directory / "floam_merged.pcd", merged)
-    ds = voxel.voxel_downsample_np(merged, downsample_leaf)
+    writer.close()
     write_pcd(directory /
-              f"floam_merged_downsampled_leaf_{downsample_leaf:.6f}.pcd", ds)
+              f"floam_merged_downsampled_leaf_{downsample_leaf:.6f}.pcd",
+              acc.centroids())
 
 
 def save_kitti_trajectory(path, quats, trans) -> None:

@@ -50,6 +50,63 @@ def write_pcd(path, xyz: np.ndarray, intensity: Optional[np.ndarray] = None,
             np.savetxt(f, data, fmt="%.6f")
 
 
+class StreamingPcdWriter:
+    """Incremental binary PCD writer: points are appended chunk by chunk
+    and the header's WIDTH/POINTS fields (reserved as zero-padded fixed
+    width, which PCD parsers read as ordinary integers) are patched on
+    close. Lets multi-million-point merged-map exports stream to disk
+    without ever materializing the whole cloud in RAM (the reference
+    concatenates everything in memory first — SaveMerged,
+    src/odomEstimationNode.cpp:66-96)."""
+
+    _NUMW = 12  # fixed digits reserved for the point count
+
+    def __init__(self, path, has_intensity: bool = False):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.has_intensity = has_intensity
+        self.n = 0
+        fields = "x y z intensity" if has_intensity else "x y z"
+        k = 4 if has_intensity else 3
+        zeros = "0" * self._NUMW
+        header = (
+            "# .PCD v0.7 - Point Cloud Data file format\n"
+            "VERSION 0.7\n"
+            f"FIELDS {fields}\n"
+            f"SIZE {' '.join(['4'] * k)}\n"
+            f"TYPE {' '.join(['F'] * k)}\n"
+            f"COUNT {' '.join(['1'] * k)}\n"
+            f"WIDTH {zeros}\n"
+            "HEIGHT 1\n"
+            "VIEWPOINT 0 0 0 1 0 0 0\n"
+            f"POINTS {zeros}\n"
+            "DATA binary\n"
+        ).encode()
+        self._width_off = header.index(b"WIDTH ") + len(b"WIDTH ")
+        self._points_off = header.index(b"POINTS ") + len(b"POINTS ")
+        self._f = open(self.path, "w+b")
+        self._f.write(header)
+
+    def append(self, xyz: np.ndarray,
+               intensity: Optional[np.ndarray] = None) -> None:
+        xyz = np.asarray(xyz, np.float32)
+        if self.has_intensity:
+            inten = np.zeros(len(xyz), np.float32) if intensity is None \
+                else np.asarray(intensity, np.float32)
+            data = np.concatenate([xyz, inten[:, None]], axis=1)
+        else:
+            data = xyz
+        self._f.write(np.ascontiguousarray(data, np.float32).tobytes())
+        self.n += len(xyz)
+
+    def close(self) -> None:
+        num = str(self.n).rjust(self._NUMW, "0").encode()
+        for off in (self._width_off, self._points_off):
+            self._f.seek(off)
+            self._f.write(num)
+        self._f.close()
+
+
 def read_pcd(path) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Returns (xyz (N,3), intensity (N,) or None). Supports the subset of
     PCD written by write_pcd plus common float32 x/y/z[/intensity] files."""

@@ -107,7 +107,10 @@ def _sector_ids(counts: jnp.ndarray, capacity: int, num_sectors: int,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_features_full(scan: RingScan, cfg: FeatureConfig):
     """Full outputs: (edge_mask (R,C), surf_mask (R,C), edge_xyz
-    (R*S*EPS, 3), edge_time (R*S*EPS,), edge_valid (R*S*EPS,)).
+    (R*S*EPS, 3), edge_time (R*S*EPS,), edge_valid (R*S*EPS,),
+    edge_intensity (R*S*EPS,)). Intensity rides along so exported clouds
+    keep the sensor's XYZI channel (the reference's VelToIntensityCopy,
+    src/odomEstimationClass.cpp:308-318).
 
     The edge positions are collected directly inside the greedy selection
     loop into dense per-(ring, sector) slots — the hot path consumes them
@@ -145,6 +148,8 @@ def extract_features_full(scan: RingScan, cfg: FeatureConfig):
                               ).reshape(RS, C, 3)
     time_rs = jnp.broadcast_to(scan.time[:, None, :], (R, S, C)
                                ).reshape(RS, C)
+    inten_rs = jnp.broadcast_to(scan.intensity[:, None, :], (R, S, C)
+                                ).reshape(RS, C)
     rows = jnp.arange(RS)
 
     eslot = jnp.arange(EPS, dtype=jnp.int32)[None, :]  # (1, EPS)
@@ -154,7 +159,7 @@ def extract_features_full(scan: RingScan, cfg: FeatureConfig):
         # take_along_axis / per-row scatter): those lower to the slow
         # batched-gather class under vmap, which the sequence-batched and
         # multi-chip paths rely on (docs/PERFORMANCE.md)
-        picked, edge, count, done, ebuf, etime, evalid = state
+        picked, edge, count, done, ebuf, etime, evalid, einten = state
         avail_curv = jnp.where(cand & ~picked, curv_b, _NEG.astype(dtype))
         ind = jnp.argmax(avail_curv, axis=1)  # (RS,)
         val = jnp.max(avail_curv, axis=1)
@@ -176,15 +181,17 @@ def extract_features_full(scan: RingScan, cfg: FeatureConfig):
         pick_y = jnp.sum(ohf * xyz_rs[:, :, 1], axis=1)
         pick_z = jnp.sum(ohf * xyz_rs[:, :, 2], axis=1)
         pick_t = jnp.sum(jnp.where(onehot, time_rs, 0), axis=1)
+        pick_i = jnp.sum(jnp.where(onehot, inten_rs, 0), axis=1)
         slot_oh = (eslot == jnp.clip(count, 0, EPS - 1)[:, None])  # (RS,EPS)
         put = is_edge[:, None] & slot_oh
         pick_xyz = jnp.stack([pick_x, pick_y, pick_z], axis=-1)
         ebuf = jnp.where(put[..., None], pick_xyz[:, None, :], ebuf)
         etime = jnp.where(put, pick_t[:, None], etime)
+        einten = jnp.where(put, pick_i[:, None], einten)
         evalid = evalid | put
         count = count + can_pick.astype(jnp.int32)
         done = done | ~can_pick | is_last
-        return picked, edge, count, done, ebuf, etime, evalid
+        return picked, edge, count, done, ebuf, etime, evalid, einten
 
     init = (
         jnp.zeros((R * S, C), bool),
@@ -194,8 +201,9 @@ def extract_features_full(scan: RingScan, cfg: FeatureConfig):
         jnp.zeros((RS, EPS, 3), dtype),
         jnp.zeros((RS, EPS), scan.time.dtype),
         jnp.zeros((RS, EPS), bool),
+        jnp.zeros((RS, EPS), scan.intensity.dtype),
     )
-    picked, edge, _, _, ebuf, etime, evalid = jax.lax.fori_loop(
+    picked, edge, _, _, ebuf, etime, evalid, einten = jax.lax.fori_loop(
         0, max_picks, body, init)
 
     # A point's surf membership is decided by its own sector's picked set;
@@ -205,13 +213,14 @@ def extract_features_full(scan: RingScan, cfg: FeatureConfig):
     in_sector = sec >= 0
     surf_mask = in_sector & ~picked_own & ~edge_mask
     return (edge_mask, surf_mask, ebuf.reshape(RS * EPS, 3),
-            etime.reshape(RS * EPS), evalid.reshape(RS * EPS))
+            etime.reshape(RS * EPS), evalid.reshape(RS * EPS),
+            einten.reshape(RS * EPS))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_features(scan: RingScan, cfg: FeatureConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (edge_mask, surf_mask), both (R, C) bool over scan slots."""
-    e, s, _, _, _ = extract_features_full(scan, cfg)
+    e, s, _, _, _, _ = extract_features_full(scan, cfg)
     return e, s
 
 

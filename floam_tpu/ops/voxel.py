@@ -125,6 +125,55 @@ def voxel_downsample_np(xyz, leaf: float):
     return (out / counts[:, None]).astype(xyz.dtype)
 
 
+class StreamingVoxelDownsample:
+    """Incremental host-side centroid-per-voxel downsample for STREAMED
+    export paths: each scan's cloud is reduced to its per-voxel partial
+    sums on arrival, so peak RSS is O(occupied voxels), never O(points of
+    the whole run) — the fix for the reference's concatenate-then-filter
+    SaveMerged (src/odomEstimationNode.cpp:66-96) at long-run scale."""
+
+    _OFF = 1 << 20
+
+    def __init__(self, leaf: float):
+        import numpy as np
+
+        self.leaf = float(leaf)
+        self._keys = np.zeros((0,), np.int64)
+        self._sums = np.zeros((0, 3), np.float64)
+        self._counts = np.zeros((0,), np.int64)
+
+    def add(self, xyz) -> None:
+        import numpy as np
+
+        xyz = np.asarray(xyz)
+        if len(xyz) == 0:
+            return
+        cell = np.floor(xyz / self.leaf).astype(np.int64)
+        packed = (((cell[:, 0] + self._OFF) << 42)
+                  | ((cell[:, 1] + self._OFF) << 21)
+                  | (cell[:, 2] + self._OFF))
+        keys, inv = np.unique(packed, return_inverse=True)
+        sums = np.stack(
+            [np.bincount(inv, weights=xyz[:, k]) for k in range(3)], axis=1)
+        counts = np.bincount(inv).astype(np.int64)
+        # merge with the running per-voxel partials (group-by on keys)
+        all_keys = np.concatenate([self._keys, keys])
+        merged, minv = np.unique(all_keys, return_inverse=True)
+        msums = np.zeros((len(merged), 3), np.float64)
+        np.add.at(msums, minv[:len(self._keys)], self._sums)
+        np.add.at(msums, minv[len(self._keys):], sums)
+        mcounts = np.bincount(minv, weights=np.concatenate(
+            [self._counts, counts]).astype(np.float64)).astype(np.int64)
+        self._keys, self._sums, self._counts = merged, msums, mcounts
+
+    def centroids(self):
+        import numpy as np
+
+        if len(self._keys) == 0:
+            return np.zeros((0, 3), np.float32)
+        return (self._sums / self._counts[:, None]).astype(np.float32)
+
+
 def crop_mask(xyz: jnp.ndarray, mask: jnp.ndarray, center: jnp.ndarray,
               radius) -> jnp.ndarray:
     """Axis-aligned box crop: keep points with |p - center|_inf <= radius."""

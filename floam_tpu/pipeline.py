@@ -66,8 +66,8 @@ def _features_from_scan(scan: RingScan, cfg: FloamConfig
       uniformly-spaced azimuth columns.
     """
     scan = _center_times(scan)
-    _, surf_mask, e_xyz, e_time, e_valid = features.extract_features_full(
-        scan, cfg.features)
+    (_, surf_mask, e_xyz, e_time, e_valid,
+     e_inten) = features.extract_features_full(scan, cfg.features)
     R = surf_mask.shape[0]
     S = cfg.features.sectors_per_ring
     EPS = cfg.features.edges_per_sector
@@ -76,9 +76,11 @@ def _features_from_scan(scan: RingScan, cfg: FloamConfig
     e_xyz = e_xyz.reshape(RS, EPS, 3).transpose(1, 0, 2).reshape(-1, 3)
     e_time = e_time.reshape(RS, EPS).T.reshape(-1)
     e_valid = e_valid.reshape(RS, EPS).T.reshape(-1)
-    ex, em, et = voxelmap.compact_points(
-        e_xyz, e_valid, cfg.odom.scan_edge_capacity, extras=(e_time,))
-    edge = PointBatch(xyz=ex, mask=em, time=et)
+    e_inten = e_inten.reshape(RS, EPS).T.reshape(-1)
+    ex, em, et, ei = voxelmap.compact_points(
+        e_xyz, e_valid, cfg.odom.scan_edge_capacity,
+        extras=(e_time, e_inten))
+    edge = PointBatch(xyz=ex, mask=em, time=et, intensity=ei)
 
     C = surf_mask.shape[1]
     per_ring = max(1, cfg.odom.scan_surf_slots // R)
@@ -90,9 +92,11 @@ def _features_from_scan(scan: RingScan, cfg: FloamConfig
     s_xyz = scan.xyz[:, perm].transpose(1, 0, 2).reshape(-1, 3)
     s_mask = (surf_mask & scan.mask)[:, perm].T.reshape(-1)
     s_time = scan.time[:, perm].T.reshape(-1)
-    sx, sm, st = voxelmap.compact_points(
-        s_xyz, s_mask, cfg.odom.scan_surf_capacity, extras=(s_time,))
-    surf = PointBatch(xyz=sx, mask=sm, time=st)
+    s_inten = scan.intensity[:, perm].T.reshape(-1)
+    sx, sm, st, si = voxelmap.compact_points(
+        s_xyz, s_mask, cfg.odom.scan_surf_capacity,
+        extras=(s_time, s_inten))
+    surf = PointBatch(xyz=sx, mask=sm, time=st, intensity=si)
     return edge, surf
 
 
@@ -182,7 +186,21 @@ class Pipeline:
     laserProcessing + odomEstimation nodes, single process, one device)."""
 
     def __init__(self, cfg: FloamConfig, dtype=jnp.float32,
-                 collect_clouds: bool = False, cloud_flush_every: int = 32):
+                 collect_clouds: bool = False, cloud_flush_every: int = 32,
+                 keep_clouds: Optional[bool] = None,
+                 spool_path=None):
+        """``collect_clouds``: the jitted step additionally RETURNS the
+        per-scan feature clouds (device buffers; +~0.7 ms/frame — needed
+        by windowed BA and by cloud-bearing exports). ``keep_clouds``
+        (default: same as collect_clouds): additionally accumulate those
+        clouds on the HOST for export. The host fetch runs on a
+        background thread in stacked chunks, so the frame loop never
+        blocks on a device->host transfer; with ``spool_path`` set the
+        fetched clouds stream straight to an on-disk CloudSpool and host
+        RSS stays O(one chunk) for arbitrarily long runs (the fix for the
+        reference's unbounded exit-time Dump, odomEstimationNode.cpp:
+        284-287). BA-only runs pass keep_clouds=False and do ZERO cloud
+        device->host traffic."""
         self.cfg = cfg
         self.dtype = dtype
         self.state = odometry.init_state(cfg, dtype)
@@ -191,17 +209,23 @@ class Pipeline:
                               return_clouds=collect_clouds),
             donate_argnums=(0,))
         self.frames: List[FrameRecord] = []
-        #: per-scan SENSOR-frame feature clouds (edge + surf), the exact
-        #: registered cloud — the reference's Dump accumulation
-        #: (odomEstimationNode.cpp:284-287). Device buffers are flushed to
-        #: host numpy every ``cloud_flush_every`` frames so long runs don't
-        #: pin HBM, without any per-frame host sync.
+        #: per-scan SENSOR-frame feature clouds (edge + surf) as (n, 4)
+        #: XYZI — the reference's Dump accumulation
+        #: (odomEstimationNode.cpp:284-287) with intensity carried through
+        #: (VelToIntensityCopy, odomEstimationClass.cpp:308-318).
         self.collect_clouds = collect_clouds
-        self.clouds: List[np.ndarray] = []
+        self.keep_clouds = collect_clouds if keep_clouds is None \
+            else (keep_clouds and collect_clouds)
+        self.clouds = [] if spool_path is None else None
+        self._spool = None
+        self._spool_path = spool_path
         #: most recent (edge, surf) device feature clouds (windowed-BA feed)
         self.last_clouds: Optional[Tuple[PointBatch, PointBatch]] = None
         self._pending_clouds: List[Any] = []
         self._cloud_flush_every = cloud_flush_every
+        self._fetch_queue = None  # lazily-started background fetch thread
+        self._fetch_thread = None
+        self._fetch_err: List[BaseException] = []
         self._times_ms: List[float] = []
         self._initialized = False
         #: host-side IMU buffer for the rotational-deskew path
@@ -249,13 +273,15 @@ class Pipeline:
             rec = FrameRecord(stamp, jnp.asarray([1.0, 0, 0, 0], self.dtype),
                               jnp.zeros(3, self.dtype), jnp.asarray(True))
             if self.collect_clouds:
-                self._pending_clouds.append((edge, surf))
                 self.last_clouds = (edge, surf)
+                if self.keep_clouds:
+                    self._pending_clouds.append((edge, surf))
         else:
             if self.collect_clouds:
                 self.state, diag, clouds = self._step(self.state, scan)
-                self._pending_clouds.append(clouds)
                 self.last_clouds = clouds
+                if self.keep_clouds:
+                    self._pending_clouds.append(clouds)
             else:
                 self.state, diag = self._step(self.state, scan)
             # device-backed record: async device copies (the state buffers
@@ -269,30 +295,83 @@ class Pipeline:
             self._flush_clouds()
         return rec
 
-    def _flush_clouds(self) -> None:
-        """Move pending device cloud buffers to host (valid points only).
+    def _ensure_fetch_thread(self):
+        import queue
+        import threading
 
-        All pending frames are stacked ON DEVICE and fetched as ONE
-        transfer: per-array readbacks pay a full host-device round trip
-        each (tens of ms on a tunneled TPU), which at 2 arrays x 2 sides x
-        32 frames made each flush cost seconds."""
+        if self._fetch_thread is not None:
+            return
+        if self._spool_path is not None:
+            from .io.spool import CloudSpool
+
+            self._spool = CloudSpool(self._spool_path, mode="w")
+        self._fetch_queue = queue.Queue(maxsize=8)
+
+        def worker():
+            while True:
+                item = self._fetch_queue.get()
+                try:
+                    if item is None:
+                        return
+                    try:
+                        fetched = jax.device_get(item)
+                        e_xyz, e_mask, e_int, s_xyz, s_mask, s_int = fetched
+                        for i in range(e_xyz.shape[0]):
+                            em, sm = e_mask[i], s_mask[i]
+                            cloud = np.concatenate([
+                                np.concatenate(
+                                    [e_xyz[i][em], e_int[i][em][:, None]],
+                                    axis=1),
+                                np.concatenate(
+                                    [s_xyz[i][sm], s_int[i][sm][:, None]],
+                                    axis=1)])
+                            if self._spool is not None:
+                                self._spool.append(cloud)
+                            else:
+                                self.clouds.append(cloud)
+                    except BaseException as e:  # surfaced in sensor_clouds
+                        self._fetch_err.append(e)
+                finally:
+                    self._fetch_queue.task_done()
+
+        self._fetch_thread = threading.Thread(target=worker, daemon=True)
+        self._fetch_thread.start()
+
+    def _flush_clouds(self) -> None:
+        """Hand pending device cloud buffers to the background fetch
+        thread as ONE stacked chunk.
+
+        The stack is a handful of async device dispatches; the actual
+        device->host transfer (the expensive part: ~25 ms latency +
+        ~40-50 MB/s over a tunneled TPU runtime, docs/PERFORMANCE.md)
+        happens entirely on the fetch thread, so the frame loop never
+        blocks on it. Chunked stacking also keeps transfer count at
+        6 arrays per `cloud_flush_every` frames instead of 6 per frame."""
         if not self._pending_clouds:
             return
-        e_xyz = jnp.stack([e.xyz for e, _ in self._pending_clouds])
-        e_mask = jnp.stack([e.mask for e, _ in self._pending_clouds])
-        s_xyz = jnp.stack([s.xyz for _, s in self._pending_clouds])
-        s_mask = jnp.stack([s.mask for _, s in self._pending_clouds])
-        e_xyz, e_mask, s_xyz, s_mask = jax.device_get(
-            (e_xyz, e_mask, s_xyz, s_mask))
-        for i in range(len(self._pending_clouds)):
-            self.clouds.append(np.concatenate(
-                [e_xyz[i][e_mask[i]], s_xyz[i][s_mask[i]]]))
+        self._ensure_fetch_thread()
+        chunk = (
+            jnp.stack([e.xyz for e, _ in self._pending_clouds]),
+            jnp.stack([e.mask for e, _ in self._pending_clouds]),
+            jnp.stack([e.intensity for e, _ in self._pending_clouds]),
+            jnp.stack([s.xyz for _, s in self._pending_clouds]),
+            jnp.stack([s.mask for _, s in self._pending_clouds]),
+            jnp.stack([s.intensity for _, s in self._pending_clouds]),
+        )
         self._pending_clouds.clear()
+        self._fetch_queue.put(chunk)
 
-    def sensor_clouds(self) -> List[np.ndarray]:
-        """All per-scan sensor-frame feature clouds collected so far."""
+    def sensor_clouds(self):
+        """All per-scan sensor-frame (n, 4) XYZI feature clouds collected
+        so far — a host list, or the disk-backed CloudSpool (list-like,
+        O(one scan) RSS) when a spool path was configured. Blocks until
+        the background fetch thread has drained every pending chunk."""
         self._flush_clouds()
-        return self.clouds
+        if self._fetch_queue is not None:
+            self._fetch_queue.join()
+        if self._fetch_err:
+            raise self._fetch_err[0]
+        return self._spool if self._spool is not None else self.clouds
 
     # --- telemetry (the reference logged avg ms/frame + speed,
     #     odomEstimationNode.cpp:226-234) ---

@@ -80,9 +80,14 @@ class RunResult:
     ate_odom: Optional[float] = None
     drift_pct: Optional[float] = None
     scans_per_sec: float = 0.0
-    #: wall rate with compile-stall frames excluded (frames whose host-side
-    #: sample exceeds 10x the median are first-use jit compiles / cache
-    #: loads; a 240-frame run spends most of its wall in a handful of them)
+    #: wall rate with ALL outlier frames excluded: any frame whose
+    #: host-side sample exceeds 10x the median is dropped from the steady
+    #: rate — that catches first-use jit compiles / persistent-cache loads
+    #: (the intended target; a 240-frame run spends most of its wall in a
+    #: handful of them) but ALSO any in-loop stall that happens to land in
+    #: a frame (keyframe drains, BA dispatch). Interpret it as "the rate
+    #: of a typical frame", not "rate excluding compilation only";
+    #: scans_per_sec is the honest whole-run number.
     scans_per_sec_steady: float = 0.0
 
 
@@ -95,13 +100,22 @@ class SequenceRunner:
                  viz_dir: Optional[str] = None, viz_every: int = 20):
         self.cfg = cfg
         ec = cfg.export
-        # cloud-bearing exports and windowed BA need the per-scan registered
-        # feature clouds (the reference's Dump accumulation,
-        # odomEstimationNode.cpp:284-287)
-        collect = (bool(output_dir) and (ec.save_balm or ec.save_posegraph
-                                         or ec.save_odom or ec.save_merged)
-                   ) or cfg.ba.enabled
-        self.pipe = Pipeline(cfg, dtype=dtype, collect_clouds=collect)
+        # cloud-bearing exports need the per-scan registered feature clouds
+        # accumulated on the HOST (the reference's Dump accumulation,
+        # odomEstimationNode.cpp:284-287) — they stream to an on-disk spool
+        # via a background fetch thread so neither the frame loop nor host
+        # RSS pays for them. Windowed BA only needs the most recent DEVICE
+        # clouds (keep_clouds=False): a BA-only run does zero cloud
+        # device->host traffic.
+        cloud_exports = bool(output_dir) and (
+            ec.save_balm or ec.save_posegraph or ec.save_odom
+            or ec.save_merged)
+        collect = cloud_exports or cfg.ba.enabled
+        spool_path = (Path(output_dir) / "clouds.spool") \
+            if cloud_exports else None
+        self.pipe = Pipeline(cfg, dtype=dtype, collect_clouds=collect,
+                             keep_clouds=cloud_exports,
+                             spool_path=spool_path)
         self.global_map = GlobalMap(cfg.mapping) if with_global_map else None
         self.output_dir = Path(output_dir) if output_dir else None
         self.checkpoint_every = checkpoint_every
@@ -125,8 +139,24 @@ class SequenceRunner:
         # utils.cpp:3-78) ---
         self._kf_window: list = []  # [(frame_idx, edge PointBatch, surf)]
         self._kf_since_ba = 0
+        #: per-window refined poses, device-side: [(frame_idxs, (K,4) q,
+        #: (K,3) t)]; collapsed to a per-keyframe dict (last window wins)
+        #: by _materialize_ba_poses at export
+        self._ba_results: list = []
         self._ba_poses: dict = {}  # frame_idx -> (q_refined, t_refined) np
         self._ba_fn = None
+        #: keyframe-flag batch whose device->host copy is in flight: the
+        #: flags of drain batch N are READ one batch later, after
+        #: copy_to_host_async has had a whole batch of frames to complete
+        #: — the read then costs ~0 instead of a blocking ~25 ms
+        #: round trip (docs/PERFORMANCE.md)
+        self._kf_inflight = None
+        #: host-side per-stage time attribution for the product loop (the
+        #: reference's per-frame ms telemetry, odomEstimationNode.cpp:
+        #: 226-234, broken down by stage)
+        from .utils.profiling import ScopedTimers
+
+        self.timers = ScopedTimers()
 
     @classmethod
     def from_checkpoint(cls, path, cfg: FloamConfig, dtype=jnp.float32,
@@ -167,7 +197,7 @@ class SequenceRunner:
         triggers a graceful stop-and-save, src/odomEstimationNode.cpp:
         170-174): when the source yields nothing for that long, the run
         ends and exports are still written."""
-        scans = _producer_iter(scans, timeout_s=idle_timeout_s)
+        src = iter(_producer_iter(scans, timeout_s=idle_timeout_s))
         n = 0
         # Keyframe-gated work (global map feed, BA window) drains in
         # batches of kf_check_every frames: reading rec.is_keyframe right
@@ -177,16 +207,23 @@ class SequenceRunner:
         track_kf = (self.global_map is not None) or self.cfg.ba.enabled
         pending: list = []  # [(frame_idx, rec, scan?, clouds)]
         t_loop0 = time.perf_counter()
-        for stamp, scan in scans:
+        while True:
+            with self.timers.scope("source_wait"):
+                item = next(src, None)
+            if item is None:
+                break
+            stamp, scan = item
             with self.meter.frame():
-                rec = self.pipe.process(scan, stamp)
+                with self.timers.scope("process_dispatch"):
+                    rec = self.pipe.process(scan, stamp)
                 if track_kf:
                     pending.append(
                         (len(self.pipe.frames) - 1, rec,
                          scan if self.global_map is not None else None,
                          self.pipe.last_clouds))
                     if len(pending) >= self.kf_check_every:
-                        self._drain_keyframes(pending)
+                        with self.timers.scope("kf_drain"):
+                            self._drain_keyframes(pending)
             n += 1
             if self.viz is not None and n % self.viz_every == 0:
                 self._viz_update(stamp)
@@ -204,9 +241,11 @@ class SequenceRunner:
                                 kf_flags=self.pipe.keyframe_flags(),
                                 imu=self.pipe.imu)
 
-        self._drain_keyframes(pending)
+        with self.timers.scope("kf_drain_final"):
+            self._drain_keyframes(pending, final=True)
         if n and self.pipe._initialized:
-            jax.block_until_ready(self.pipe.state.pose.t)
+            with self.timers.scope("device_drain"):
+                jax.block_until_ready(self.pipe.state.pose.t)
         # wall-clock rate over the whole loop INCLUDING the final device
         # drain — per-frame meter samples measure only dispatch latency
         # when nothing syncs, which would overstate throughput wildly
@@ -224,6 +263,7 @@ class SequenceRunner:
         result = RunResult(stamps=st, quats=qs, trans=ts,
                            scans_per_sec=(n / wall if wall > 0 else 0.0),
                            scans_per_sec_steady=steady)
+        self._materialize_ba_poses()
         if self._ba_poses:
             result.quats, result.trans = self._apply_ba(qs, ts)
         if gt is not None:
@@ -246,24 +286,49 @@ class SequenceRunner:
     # Windowed BA (cfg.ba)
     # ------------------------------------------------------------------
 
-    def _drain_keyframes(self, pending: list) -> None:
-        """Batched deferred keyframe work (see run()): ONE stacked transfer
-        fetches the pending frames' keyframe flags, then each keyframe's
-        global-map feed / BA window runs in frame order. The fetched flag
-        is cached back into the record so later reads (checkpoint, export)
-        never touch the device again."""
-        if not pending:
+    def _drain_keyframes(self, pending: list, final: bool = False) -> None:
+        """Batched + PIPELINED deferred keyframe work (see run()): batch
+        N's flags/poses are stacked into one transfer whose device->host
+        copy is STARTED now (copy_to_host_async) but READ at batch N+1's
+        drain — by then the copy has long finished and the read is free,
+        so the frame loop never blocks on a flag round trip. The fetched
+        flag is cached back into the record so later reads (checkpoint,
+        export) never touch the device again. Keyframe handling thus lags
+        the frame loop by up to 2*kf_check_every frames — semantically
+        fine: the global-map feed and BA window consume frame-indexed
+        data, not loop position. ``final`` forces both phases through."""
+        self._consume_kf_inflight()
+        if pending:
+            stacked = (jnp.stack([r._kf for _, r, _, _ in pending]),
+                       jnp.stack([r._q for _, r, _, _ in pending]),
+                       jnp.stack([r._t for _, r, _, _ in pending]))
+            for a in stacked:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:  # older jax.Array without the hint
+                    pass
+            self._kf_inflight = (list(pending), stacked)
+            pending.clear()
+        if final:
+            self._consume_kf_inflight()
+
+    def _consume_kf_inflight(self) -> None:
+        if self._kf_inflight is None:
             return
-        flags, qs, ts = jax.device_get(
-            (jnp.stack([r._kf for _, r, _, _ in pending]),
-             jnp.stack([r._q for _, r, _, _ in pending]),
-             jnp.stack([r._t for _, r, _, _ in pending])))
-        for (idx, rec, scan, clouds), kf, q, t in zip(pending, flags, qs,
+        entries, stacked = self._kf_inflight
+        self._kf_inflight = None
+        with self.timers.scope("kf_flag_fetch"):
+            flags, qs, ts = jax.device_get(stacked)
+        for (idx, rec, scan, clouds), kf, q, t in zip(entries, flags, qs,
                                                       ts):
+            # keep the DEVICE pose refs for the BA window before caching
+            # the host values into the record: feeding cached numpy poses
+            # to the jitted BA call would re-upload ~2*window small host
+            # arrays per window (~5 ms latency each through the tunnel)
+            q_dev, t_dev = rec._q, rec._t
             rec._kf, rec._q, rec._t = bool(kf), q, t
             if rec._kf:
-                self._handle_keyframe(idx, rec, scan, clouds)
-        pending.clear()
+                self._handle_keyframe(idx, rec, scan, clouds, q_dev, t_dev)
 
     def _viz_update(self, stamp: float) -> None:
         """Publish a live snapshot (trajectory + map) — the analogue of the
@@ -285,7 +350,8 @@ class SequenceRunner:
                         scans_per_sec=self.meter.summary().get(
                             "scans_per_sec", 0.0), force=True)
 
-    def _handle_keyframe(self, frame_idx: int, rec, scan, clouds) -> None:
+    def _handle_keyframe(self, frame_idx: int, rec, scan, clouds,
+                         q_dev=None, t_dev=None) -> None:
         if self.global_map is not None and scan is not None:
             xyz = np.asarray(scan.xyz).reshape(-1, 3)
             mask = np.asarray(scan.mask).reshape(-1)
@@ -294,9 +360,11 @@ class SequenceRunner:
             self.global_map.update(jnp.asarray(xyz), pose,
                                    mask=jnp.asarray(mask))
         if self.cfg.ba.enabled:
-            self._on_keyframe(frame_idx, clouds)
+            self._on_keyframe(frame_idx, clouds,
+                              q_dev if q_dev is not None else rec._q,
+                              t_dev if t_dev is not None else rec._t)
 
-    def _on_keyframe(self, frame_idx: int, clouds=None) -> None:
+    def _on_keyframe(self, frame_idx: int, clouds, q_dev, t_dev) -> None:
         """Track the keyframe window; run BA every cfg.ba.every keyframes
         once the window is full."""
         bc = self.cfg.ba
@@ -304,7 +372,7 @@ class SequenceRunner:
         if clouds is None:
             return
         edge, surf = clouds
-        self._kf_window.append((frame_idx, edge, surf))
+        self._kf_window.append((frame_idx, edge, surf, q_dev, t_dev))
         if len(self._kf_window) > bc.window:
             self._kf_window.pop(0)
         self._kf_since_ba += 1
@@ -314,32 +382,59 @@ class SequenceRunner:
             self._kf_since_ba = 0
 
     def _run_ba(self) -> None:
-        import functools
-
         import jax
 
         from .parallel.windowed_ba import window_ba_from_clouds
 
         bc = self.cfg.ba
         if self._ba_fn is None:
-            self._ba_fn = jax.jit(functools.partial(
-                window_ba_from_clouds, oc=self.cfg.odom, iters=bc.iters,
-                prior_weight=bc.prior_weight, damping=bc.damping))
-        idxs = [i for i, _, _ in self._kf_window]
-        # prefix-sliced BA query budgets (see BAConfig.edge_budget)
-        eb, sb = bc.edge_budget, bc.surf_budget
-        e_xyz = jnp.stack([e.xyz[:eb] for _, e, _ in self._kf_window])
-        e_mask = jnp.stack([e.mask[:eb] for _, e, _ in self._kf_window])
-        s_xyz = jnp.stack([s.xyz[:sb] for _, _, s in self._kf_window])
-        s_mask = jnp.stack([s.mask[:sb] for _, _, s in self._kf_window])
-        quats = jnp.stack([self.pipe.frames[i]._q for i in idxs])
-        trans = jnp.stack([self.pipe.frames[i]._t for i in idxs])
-        q2, t2 = self._ba_fn(self.pipe.state.map, e_xyz, e_mask, s_xyz,
-                             s_mask, quats, trans)
-        # keep the refined poses device-side: syncing here costs a host
-        # round trip per window; _apply_ba fetches them all at export
-        for j, i in enumerate(idxs):
-            self._ba_poses[i] = (q2[j], t2[j])
+            # window slicing + stacking happen INSIDE the jitted program:
+            # the previous eager version dispatched ~40 small slice/stack
+            # device ops per window, each paying tunneled dispatch latency
+            # on the frame loop's critical path
+            oc, eb, sb = self.cfg.odom, bc.edge_budget, bc.surf_budget
+
+            def ba_call(map_state, e_xyzs, e_masks, s_xyzs, s_masks,
+                        quats, trans):
+                e_xyz = jnp.stack([x[:eb] for x in e_xyzs])
+                e_mask = jnp.stack([m[:eb] for m in e_masks])
+                s_xyz = jnp.stack([x[:sb] for x in s_xyzs])
+                s_mask = jnp.stack([m[:sb] for m in s_masks])
+                return window_ba_from_clouds(
+                    map_state, e_xyz, e_mask, s_xyz, s_mask,
+                    jnp.stack(quats), jnp.stack(trans), oc=oc,
+                    iters=bc.iters, prior_weight=bc.prior_weight,
+                    damping=bc.damping)
+
+            self._ba_fn = jax.jit(ba_call)
+        idxs = [i for i, _, _, _, _ in self._kf_window]
+        with self.timers.scope("ba_dispatch"):
+            q2, t2 = self._ba_fn(
+                self.pipe.state.map,
+                tuple(e.xyz for _, e, _, _, _ in self._kf_window),
+                tuple(e.mask for _, e, _, _, _ in self._kf_window),
+                tuple(s.xyz for _, _, s, _, _ in self._kf_window),
+                tuple(s.mask for _, _, s, _, _ in self._kf_window),
+                tuple(q for _, _, _, q, _ in self._kf_window),
+                tuple(t for _, _, _, _, t in self._kf_window))
+        # keep the refined poses device-side AND unsliced: syncing (or even
+        # eagerly slicing) here costs dispatch latency per window on the
+        # frame loop; _apply_ba fetches every window in one transfer at
+        # export and later windows overwrite earlier ones per keyframe
+        self._ba_results.append((idxs, q2, t2))
+
+    def _materialize_ba_poses(self) -> None:
+        """Collapse the accumulated per-window refined poses to one pose
+        per keyframe (later windows overwrite earlier ones where they
+        overlap — the sliding window refines each keyframe several times)
+        with ONE batched device->host transfer for all windows."""
+        if not self._ba_results:
+            return
+        fetched = jax.device_get([(q, t) for _, q, t in self._ba_results])
+        for (idxs, _, _), (q2, t2) in zip(self._ba_results, fetched):
+            for j, i in enumerate(idxs):
+                self._ba_poses[i] = (q2[j], t2[j])
+        self._ba_results.clear()
 
     def _apply_ba(self, quats: np.ndarray, trans: np.ndarray):
         """Correct the full trajectory with the refined keyframe poses:
@@ -384,6 +479,7 @@ class SequenceRunner:
         out = self.output_dir
         out.mkdir(parents=True, exist_ok=True)
         ec = self.cfg.export
+        self._materialize_ba_poses()
         # one batched device->host fetch of all record fields up front
         # (per-frame reads below would pay a round trip each)
         self.pipe.materialize_records()
@@ -392,11 +488,14 @@ class SequenceRunner:
         ex.save_frame_info(out / "frame_info.jsonl", self.pipe.frames)
         ex.save_tum_trajectory(out / "trajectory_tum.txt", result.stamps,
                                result.quats, result.trans)
-        clouds = self.pipe.sensor_clouds() if self.pipe.collect_clouds else []
+        # clouds is list-like but possibly disk-backed (CloudSpool): every
+        # cloud-bearing exporter below iterates lazily, one scan in RAM at
+        # a time — host memory stays flat however long the run was
+        clouds = self.pipe.sensor_clouds() if self.pipe.keep_clouds else []
         n = min(len(clouds), len(result.stamps))
         if ec.save_merged and n:
-            ex.save_merged(out, clouds[:n], result.quats[:n],
-                           result.trans[:n],
+            ex.save_merged(out, (clouds[i] for i in range(n)),
+                           result.quats[:n], result.trans[:n],
                            downsample_leaf=ec.output_downsample_size)
         if ec.save_posegraph:
             # keyframe-gated vertices with their clouds (SavePosegraph,
@@ -406,13 +505,15 @@ class SequenceRunner:
             ex.save_posegraph(out / "posegraph",
                               result.quats[kf], result.trans[kf],
                               result.stamps[kf],
-                              clouds=[clouds[i] for i in kf] if n else None)
+                              clouds=(clouds[i] for i in kf) if n else None)
         if ec.save_balm:
             ex.save_balm(out / "balm", result.quats[:n], result.trans[:n],
-                         result.stamps[:n], clouds=clouds[:n])
+                         result.stamps[:n],
+                         clouds=(clouds[i] for i in range(n)))
         if ec.save_odom and n:
             ex.save_odom(out / "odom", result.quats[:n], result.trans[:n],
-                         result.stamps[:n], clouds=clouds[:n])
+                         result.stamps[:n],
+                         clouds=(clouds[i] for i in range(n)))
         if self.global_map is not None:
             from .io.pcd import write_pcd
 
@@ -428,6 +529,9 @@ class SequenceRunner:
             "ate_odom_m": result.ate_odom,
             "ba_windows": len(self._ba_poses),
             "drift_pct": result.drift_pct,
+            # host-side per-stage attribution (ms totals) of the run loop
+            "host_stage_ms": {k: round(v * 1e3, 1)
+                              for k, v in self.timers.totals.items()},
         }
         (out / "summary.json").write_text(json.dumps(summary, indent=2))
 

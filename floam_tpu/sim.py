@@ -165,23 +165,6 @@ def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
     ], np.float64)
 
 
-def _quat_mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    aw, ax, ay, az = a
-    bw, bx, by, bz = b
-    return np.array([aw * bw - ax * bx - ay * by - az * bz,
-                     aw * bx + ax * bw + ay * bz - az * by,
-                     aw * by - ax * bz + ay * bw + az * bx,
-                     aw * bz + ax * by - ay * bx + az * bw], np.float64)
-
-
-def _so3_exp_quat_np(w: np.ndarray) -> np.ndarray:
-    th = float(np.linalg.norm(w))
-    if th < 1e-12:
-        return np.array([1.0, 0.5 * w[0], 0.5 * w[1], 0.5 * w[2]])
-    ax = np.asarray(w) / th
-    return np.concatenate([[np.cos(th / 2)], np.sin(th / 2) * ax])
-
-
 def simulate_scan_np(
     world: World,
     pose_q: np.ndarray,  # (4,) wxyz sensor->world
@@ -207,19 +190,43 @@ def simulate_scan_np(
     times = np.broadcast_to(az / (2 * np.pi) * lidar.scan_period,
                             (R, azimuth_steps)).reshape(-1)
 
-    # per-ray pose (continuous motion during the sweep)
+    # per-ray pose (continuous motion during the sweep) — vectorized over
+    # the azimuth columns (every ring shares a column's fire time); the
+    # previous per-unique-time Python loop was O(A^2 R) and made skewed
+    # 1800-step benchmark scans take minutes each
     Rm = _quat_to_mat_np(np.asarray(pose_q, np.float64))
     if motion_per_rev is not None:
         vel, omega = motion_per_rev
-        d_world = np.empty_like(d_sensor)
-        origins = np.empty_like(d_sensor)
-        for i, t in enumerate(np.unique(times)):
-            sel = times == t
-            dq = _so3_exp_quat_np(np.asarray(omega, np.float64) * t)
-            Rt = _quat_to_mat_np(_quat_mul_np(dq, np.asarray(pose_q,
-                                                             np.float64)))
-            d_world[sel] = d_sensor[sel] @ Rt.T
-            origins[sel] = pose_t + vel * t
+        tu = az / (2 * np.pi) * lidar.scan_period  # (A,) column fire times
+        w = np.asarray(omega, np.float64)[None, :] * tu[:, None]  # (A, 3)
+        th = np.linalg.norm(w, axis=1)
+        ax = np.where(th[:, None] > 1e-12, w / np.maximum(th, 1e-30)[:, None],
+                      0.0)
+        half = 0.5 * th
+        dq = np.concatenate([np.cos(half)[:, None],
+                             np.sin(half)[:, None] * ax], axis=1)  # (A,4)
+        bw, bx, by, bz = np.asarray(pose_q, np.float64)
+        aw, axx, ay, az_ = dq.T
+        q_t = np.stack([aw * bw - axx * bx - ay * by - az_ * bz,
+                        aw * bx + axx * bw + ay * bz - az_ * by,
+                        aw * by - axx * bz + ay * bw + az_ * bx,
+                        aw * bz + axx * by - ay * bx + az_ * bw], axis=1)
+        qw, qx, qy, qz = q_t.T
+        R_t = np.empty((len(tu), 3, 3), np.float64)  # (A, 3, 3)
+        R_t[:, 0, 0] = 1 - 2 * (qy * qy + qz * qz)
+        R_t[:, 0, 1] = 2 * (qx * qy - qw * qz)
+        R_t[:, 0, 2] = 2 * (qx * qz + qw * qy)
+        R_t[:, 1, 0] = 2 * (qx * qy + qw * qz)
+        R_t[:, 1, 1] = 1 - 2 * (qx * qx + qz * qz)
+        R_t[:, 1, 2] = 2 * (qy * qz - qw * qx)
+        R_t[:, 2, 0] = 2 * (qx * qz - qw * qy)
+        R_t[:, 2, 1] = 2 * (qy * qz + qw * qx)
+        R_t[:, 2, 2] = 1 - 2 * (qx * qx + qy * qy)
+        d_sr = d_sensor.reshape(R, len(tu), 3)
+        d_world = np.einsum("aij,raj->rai", R_t, d_sr).reshape(-1, 3)
+        org = np.asarray(pose_t, np.float64)[None, :] \
+            + np.asarray(vel, np.float64)[None, :] * tu[:, None]  # (A, 3)
+        origins = np.broadcast_to(org[None], d_sr.shape).reshape(-1, 3)
     else:
         d_world = d_sensor @ Rm.T
         origins = np.broadcast_to(pose_t, d_sensor.shape).copy()
@@ -239,16 +246,25 @@ def simulate_scan_np(
     val = valid.reshape(R, azimuth_steps)
     tm = times.reshape(R, azimuth_steps)
 
+    # synthetic per-point return intensity: range-attenuated with a bit of
+    # deterministic texture, so the XYZI export path has a real channel to
+    # carry (the reference's sensor provides it natively, lidar.h:15-32)
+    inten_flat = (0.1 + 0.9 * np.exp(-np.nan_to_num(dist, nan=0.0) / 40.0)
+                  * (0.75 + 0.25 * np.cos(3.0 * azg.reshape(-1))))
+    intens = inten_flat.reshape(R, azimuth_steps)
+
     xyz = np.zeros((R, C, 3), np.float64)
     mask = np.zeros((R, C), bool)
     tarr = np.zeros((R, C), np.float64)
+    iarr = np.zeros((R, C), np.float64)
     for r in range(R):
         idx = np.nonzero(val[r])[0][:C]
         n = len(idx)
         xyz[r, :n] = pts[r, idx]
         tarr[r, :n] = tm[r, idx]
+        iarr[r, :n] = intens[r, idx]
         mask[r, :n] = True
-    return dict(xyz=xyz, time=tarr, mask=mask)
+    return dict(xyz=xyz, time=tarr, mask=mask, intensity=iarr)
 
 
 def simulate_scan(world, pose_q, pose_t, lidar, azimuth_steps: int = 900,
@@ -267,8 +283,8 @@ def simulate_scan(world, pose_q, pose_t, lidar, azimuth_steps: int = 900,
 
     d = simulate_scan_np(world, pose_q, pose_t, lidar, azimuth_steps,
                          elevation_limits, noise, seed, motion_per_rev)
-    R, C = lidar.num_lines, lidar.points_per_ring
-    return RingScan(xyz=jnp.asarray(d["xyz"]), intensity=jnp.zeros((R, C)),
+    return RingScan(xyz=jnp.asarray(d["xyz"]),
+                    intensity=jnp.asarray(d["intensity"]),
                     time=jnp.asarray(d["time"]), mask=jnp.asarray(d["mask"]))
 
 
@@ -277,15 +293,15 @@ def _scan_job(args):
     d = simulate_scan_np(world, q, t, lidar, azimuth_steps=azimuth_steps,
                          noise=noise, seed=seed)
     return (d["xyz"].astype(np.float32), d["time"].astype(np.float32),
-            d["mask"])
+            d["mask"], d["intensity"].astype(np.float32))
 
 
 def simulate_sequence(world: World, poses, lidar: LidarConfig,
                       azimuth_steps: int = 900, noise: float = 0.0,
                       workers: int = 0):
     """Batch scan generation over a pose list, optionally on a process pool
-    (the ray-cast is pure NumPy). Returns list of (xyz f32, time f32, mask)
-    numpy triples in pose order."""
+    (the ray-cast is pure NumPy). Returns a list of (xyz f32, time f32,
+    mask, intensity f32) numpy tuples in pose order."""
     jobs = [(world, q, t, lidar, azimuth_steps, noise, i)
             for i, (q, t) in enumerate(poses)]
     if workers and len(jobs) > 1:

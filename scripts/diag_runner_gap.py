@@ -33,11 +33,9 @@ def main():
     raw = sim.simulate_sequence(world, gt, cfg.lidar, azimuth_steps=720,
                                 noise=0.02, workers=8)
     print(f"simgen {time.perf_counter() - t0:.1f}s", flush=True)
-    R, C = cfg.lidar.num_lines, cfg.lidar.points_per_ring
-    zeros_i = jnp.zeros((R, C), jnp.float32)
-    scans = [RingScan(xyz=jnp.asarray(x), intensity=zeros_i,
+    scans = [RingScan(xyz=jnp.asarray(x), intensity=jnp.asarray(i_),
                       time=jnp.asarray(t), mask=jnp.asarray(m))
-             for x, t, m in raw]
+             for x, t, m, i_ in raw]
     warm = min(12, frames // 2)
 
     def time_pipe(collect):
@@ -65,8 +63,11 @@ def main():
         res = r.run(gen())
         s = r.meter.summary()
         print(f"runner ba={ba}: total {time.perf_counter() - t0:.1f}s "
-              f"rate {res.scans_per_sec:.1f} p50 {s.get('p50_ms', 0):.1f} "
+              f"rate {res.scans_per_sec:.1f} "
+              f"steady {res.scans_per_sec_steady:.1f} "
+              f"p50 {s.get('p50_ms', 0):.1f} "
               f"p95 {s.get('p95_ms', 0):.1f}", flush=True)
+        print(r.timers.report(), flush=True)
 
 
 if __name__ == "__main__":

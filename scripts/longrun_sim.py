@@ -20,40 +20,56 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
+_scan_cache: dict = {}
+
+
 def run_longrun(frames: int = 240, noise: float = 0.0, azimuth_steps: int = 720,
                 num_buildings: int = 16, workers: int = 2, ba: bool = True,
-                progress_every: int = 0):
-    """Returns dict with ate_m, ate_odom_m, drift_pct, scans_per_sec."""
-    import jax.numpy as jnp
+                progress_every: int = 0, cfg=None, ba_overrides=None,
+                return_timers: bool = False):
+    """Returns dict with ate_m, ate_odom_m, drift_pct, scans_per_sec.
+
+    ``cfg`` overrides the default kitti_hdl64 config; ``ba_overrides`` is a
+    dict of BAConfig field replacements (window/every/iters/budgets/...).
+    Simulated scans are memoized per (frames, noise, azimuth) within the
+    process so ablation sweeps pay scan generation once."""
+    import dataclasses
 
     from floam_tpu import sim
     from floam_tpu.config import FloamConfig
     from floam_tpu.runner import SequenceRunner
     from floam_tpu.types import RingScan
 
-    cfg = FloamConfig.kitti_hdl64()
+    cfg = cfg or FloamConfig.kitti_hdl64()
     world = sim.World.outdoor(extent=200.0, num_buildings=num_buildings,
                               num_poles=36, path_radius=40.0, seed=0)
     gt = sim.circuit_trajectory(frames, radius=40.0, step=1.25, center_z=1.8)
 
     t0 = time.perf_counter()
-    raw = sim.simulate_sequence(world, gt, cfg.lidar,
-                                azimuth_steps=azimuth_steps, noise=noise,
-                                workers=workers)
+    key = (frames, noise, azimuth_steps, num_buildings)
+    if key not in _scan_cache:
+        _scan_cache[key] = sim.simulate_sequence(
+            world, gt, cfg.lidar, azimuth_steps=azimuth_steps, noise=noise,
+            workers=workers)
+    raw = _scan_cache[key]
     gen_s = time.perf_counter() - t0
 
     def scan_stream():
-        for i, (xyz, tm, mask) in enumerate(raw):
-            yield 0.1 * i, RingScan.from_host(xyz, tm, mask)
+        for i, (xyz, tm, mask, inten) in enumerate(raw):
+            yield 0.1 * i, RingScan.from_host(xyz, tm, mask, intensity=inten)
 
     if not ba:
-        cfg = cfg.replace(ba=cfg.ba.__class__(enabled=False))
+        cfg = dataclasses.replace(
+            cfg, ba=dataclasses.replace(cfg.ba, enabled=False))
+    elif ba_overrides:
+        cfg = dataclasses.replace(
+            cfg, ba=dataclasses.replace(cfg.ba, **ba_overrides))
     runner = SequenceRunner(cfg)
     gt_q = np.stack([q for q, _ in gt])
     gt_t = np.stack([t for _, t in gt])
     res = runner.run(scan_stream(), gt=(gt_q, gt_t),
                      progress_every=progress_every)
-    return {
+    out = {
         "frames": frames,
         "longrun_ate_m": round(res.ate, 4) if res.ate is not None else None,
         "longrun_ate_odom_m": round(res.ate_odom, 4)
@@ -64,6 +80,10 @@ def run_longrun(frames: int = 240, noise: float = 0.0, azimuth_steps: int = 720,
         "longrun_rate_steady": round(res.scans_per_sec_steady, 2),
         "sim_gen_s": round(gen_s, 1),
     }
+    if return_timers:
+        out["timers_ms"] = {k: round(v * 1e3)
+                            for k, v in runner.timers.totals.items()}
+    return out
 
 
 if __name__ == "__main__":
