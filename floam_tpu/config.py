@@ -295,6 +295,17 @@ class FloamConfig:
 
     def __post_init__(self):
         _validate_candidate_budget(self.odom)
+        # the fused Pallas association kernel tiles queries in rows of 8
+        # (ops/assoc_kernel.rank_scalars); catch bad capacities at config
+        # build time, not deep inside a trace
+        for name, v in (("scan_edge_capacity", self.odom.scan_edge_capacity),
+                        ("scan_surf_capacity", self.odom.scan_surf_capacity),
+                        ("ba.edge_budget", self.ba.edge_budget),
+                        ("ba.surf_budget", self.ba.surf_budget)):
+            if v % 8 != 0:
+                raise ValueError(
+                    f"{name}={v} must be a multiple of 8 (Pallas "
+                    "association kernel tile height)")
 
     def replace(self, **kw) -> "FloamConfig":
         return dataclasses.replace(self, **kw)

@@ -76,7 +76,15 @@ def bin_to_ring_scan(raw: np.ndarray, lidar: LidarConfig,
         np.zeros(len(raw), np.float32)
     finite = np.isfinite(xyz).all(axis=1)
     if rings is None:
-        ring, rvalid = ring_ids_hdl64(xyz)
+        if lidar.num_lines == 64:
+            ring, rvalid = ring_ids_hdl64(xyz)
+        else:
+            # geometric fallback for 16/32-beam clouds without a ring field
+            # (RingExtraction formulas, src/laserProcessingClass.cpp:34-49)
+            from ..ops.features import ring_ids_from_elevation
+
+            ring, rvalid = ring_ids_from_elevation(xyz, lidar.num_lines)
+            ring, rvalid = np.asarray(ring), np.asarray(rvalid)
     else:
         ring = rings.astype(np.int32)
         rvalid = (ring >= 0) & (ring < lidar.num_lines)

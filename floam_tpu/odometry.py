@@ -125,9 +125,17 @@ def pin_assoc_backend(cfg: FloamConfig, platform: str) -> FloamConfig:
     oc = cfg.odom
     if oc.assoc_backend != "auto":
         return cfg
-    backend = "xla" if platform == "cpu" else "pallas"
+    backend = "pallas" if _pallas_capable(platform) else "xla"
     return dataclasses.replace(
         cfg, odom=dataclasses.replace(oc, assoc_backend=backend))
+
+
+def _pallas_capable(platform: str) -> bool:
+    """The fused association kernel lowers through pltpu.VMEM BlockSpecs:
+    TPU-only (plus the axon-tunneled TPU runtime). Any other accelerator
+    (e.g. a GPU backend) falls back to the XLA re-rank chain rather than
+    failing to lower."""
+    return platform in ("tpu", "axon")
 
 
 def _combine_axes(shard_axis, query_axis):
@@ -217,7 +225,8 @@ def _solve_from_candidates(pose: Pose, cand_e, d2_e, cand_s, d2_s,
     pw_surf = se3.quat_rotate(pose.q[None, :], surf_xyz) + pose.t
     backend = oc.assoc_backend
     if backend == "auto":
-        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        backend = "pallas" if _pallas_capable(jax.default_backend()) \
+            else "xla"
     if backend == "pallas":
         # fused single-pass re-rank (ops.assoc_kernel): the precomputed
         # first-round d2 is ignored — recomputing it in-kernel is free

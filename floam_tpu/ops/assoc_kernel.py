@@ -45,8 +45,15 @@ _SURF_COLS = 16  # kth_d2, nx, ny, nz, d_local, max_resid, solvable
 def _tile_q(Q: int, C: int) -> int:
     """Largest power-of-two query tile keeping ~10 live (TQ, C) f32 buffers
     (3 plane blocks + packed/orig + distance/delta temporaries) within a
-    conservative 8 MB VMEM budget."""
+    conservative 8 MB VMEM budget. Raises when even the minimum 8-row tile
+    cannot fit (presets that wide must pin assoc_backend="xla" instead of
+    failing later inside the Mosaic compiler)."""
     budget = 8 * 1024 * 1024 // (40 * C)
+    if budget < 8:
+        raise ValueError(
+            f"candidate width C={C} needs ~{40 * C * 8 / 2**20:.1f} MB of "
+            "VMEM per minimum 8-row tile — beyond the Pallas kernel's "
+            "budget; set OdomConfig.assoc_backend='xla' for this preset")
     tq = 8
     while tq * 2 <= min(budget, Q, 512) and Q % (tq * 2) == 0:
         tq *= 2
@@ -201,9 +208,14 @@ def rank_scalars(cand_soa, queries, k: int, lane_bits: int, surf: bool):
      8-device virtual-mesh tests exercise the same code path."""
     cx, cy, cz = cand_soa
     Q, C = cx.shape
+    if Q % 8 != 0:
+        raise ValueError(
+            f"query count Q={Q} must be a multiple of 8 (the minimum "
+            "Pallas tile height); round scan_*_capacity / BA budgets up "
+            "— FloamConfig validation enforces this for the shipped "
+            "presets")
     tq = _tile_q(Q, C)
-    grid = (Q // tq,) if Q % tq == 0 else (pl.cdiv(Q, tq),)
-    assert Q % tq == 0, (Q, tq)
+    grid = (Q // tq,)
     plane = pl.BlockSpec((tq, C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     kern = functools.partial(_rank_kernel, k=k, lane_bits=lane_bits,

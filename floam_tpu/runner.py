@@ -536,6 +536,49 @@ class SequenceRunner:
         (out / "summary.json").write_text(json.dumps(summary, indent=2))
 
 
+def run_rosbag_sequence(bag_path, cfg: Optional[FloamConfig] = None,
+                        cloud_topic: Optional[str] = None,
+                        imu_topic: Optional[str] = None,
+                        output_dir=None, max_frames: Optional[int] = None,
+                        progress_every: int = 50, **runner_kw) -> RunResult:
+    """Run a recorded ROS1 bag end to end — the reference's primary
+    deployment input (rosbag replay into the three nodes, README.md:59-67;
+    topics at laserProcessingNode.cpp:201-204). PointCloud2 clouds carry
+    real per-point ring/time/intensity (vel_point::PointXYZIRT,
+    lidar.h:15-32) into `bin_to_ring_scan(rings=, times=)`, and Imu
+    orientation samples feed `Pipeline.add_imu` for the rotational-deskew
+    path. Defaults to the structor_vlp16 preset (the config the recordings
+    were made for)."""
+    from .io.kitti import bin_to_ring_scan
+    from .io.rosbag import RosbagSource
+
+    cfg = cfg or FloamConfig.structor_vlp16()
+    runner = SequenceRunner(cfg, output_dir=output_dir, **runner_kw)
+    src = RosbagSource(bag_path, cloud_topic=cloud_topic,
+                      imu_topic=imu_topic)
+
+    def gen():
+        n = 0
+        for kind, stamp, payload in src:
+            if kind == "imu":
+                runner.pipe.add_imu(stamp, payload)
+                continue
+            if max_frames is not None and n >= max_frames:
+                break
+            inten = payload["intensity"]
+            raw = np.concatenate(
+                [payload["xyz"],
+                 (inten if inten is not None
+                  else np.zeros(len(payload["xyz"]), np.float32))[:, None]],
+                axis=1)
+            scan = bin_to_ring_scan(raw, cfg.lidar, rings=payload["ring"],
+                                    times=payload["time"])
+            n += 1
+            yield stamp, scan
+
+    return runner.run(gen(), progress_every=progress_every)
+
+
 def run_kitti_sequence(seq_dir, cfg: Optional[FloamConfig] = None,
                        poses_path=None, output_dir=None, max_frames=None,
                        progress_every: int = 50) -> RunResult:
