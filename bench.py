@@ -27,7 +27,12 @@ NUM_SCANS = 12
 REPS = 4
 #: bump when sim geometry / scan generation semantics change, so stale
 #: caches can never be silently re-benchmarked
-SIM_VERSION = 2
+SIM_VERSION = 3
+#: rotational-skew workload parameters: a fast handheld-style yaw
+#: (the smear IMU deskew exists to remove — reference README.md:9-16)
+SKEW_YAW_RATE = 1.2  # rad/s -> 6.9 deg of smear per 0.1 s sweep
+SKEW_SPEED = 3.0  # m/s
+IMU_HZ = 200.0
 
 
 def _cache_path(cfg, skew: bool) -> Path:
@@ -44,26 +49,35 @@ def _cache_path(cfg, skew: bool) -> Path:
 
 
 def get_scans(cfg, skew: bool = False):
-    """Simulated HDL-64 benchmark scans (cached). ``skew=True`` generates
-    motion-skewed sweeps (continuous 10 m/s translation + 0.2 rad/s yaw
-    during each revolution via sim motion_per_rev) — the input the deskew
-    path exists for (reference README.md:9-16, dataHandler.cpp:82-122)."""
+    """Simulated HDL-64 benchmark scans (cached).
+
+    ``skew=True`` generates ROTATIONALLY skewed sweeps — SKEW_YAW_RATE of
+    continuous yaw plus SKEW_SPEED translation DURING each revolution
+    (sim motion_per_rev) — together with a synthetic IMU orientation
+    stream at IMU_HZ. This is the handheld-rig smear the fork's IMU
+    deskew exists to remove (reference README.md:9-16,
+    dataHandler.cpp:93-122); scan-to-map registration absorbs pure
+    constant-velocity smear on its own (measured,
+    docs/budget_sweep_bench.jsonl), so rotation is where deskew must
+    prove itself. Returns (scans, gt_t, imu) with imu=(stamps, quats)."""
     from floam_tpu import sim
 
     cache = _cache_path(cfg, skew)
     if cache.exists():
         data = np.load(cache)
+        imu = (data["imu_stamps"], data["imu_quats"]) if skew else None
         return ([dict(xyz=data["xyz"][i], time=data["time"][i],
                       mask=data["mask"][i], intensity=data["intensity"][i])
-                 for i in range(NUM_SCANS)], data["gt_t"])
+                 for i in range(NUM_SCANS)], data["gt_t"], imu)
     world = sim.World.room(size=50.0, height=6.0, num_poles=30, seed=0)
+    period = cfg.lidar.scan_period
     if skew:
-        step, yaw_rate = 1.0, 0.02  # 10 m/s + 0.2 rad/s at 10 Hz
+        step = SKEW_SPEED * period
+        yaw_rate = SKEW_YAW_RATE * period  # per frame
     else:
         step, yaw_rate = 0.15, 0.02
     gt = sim.spiral_trajectory(NUM_SCANS, step=step, yaw_rate=yaw_rate,
                                center_z=1.5)
-    period = cfg.lidar.scan_period
     xyzs, times, masks, intens, gts = [], [], [], [], []
     for i, (q, t) in enumerate(gt):
         motion = None
@@ -80,15 +94,27 @@ def get_scans(cfg, skew: bool = False):
         masks.append(np.asarray(s.mask))
         intens.append(np.asarray(s.intensity, np.float32))
         gts.append(t)
-    np.savez_compressed(cache, xyz=np.stack(xyzs), time=np.stack(times),
-                        mask=np.stack(masks), intensity=np.stack(intens),
-                        gt_t=np.stack(gts))
+    payload = dict(xyz=np.stack(xyzs), time=np.stack(times),
+                   mask=np.stack(masks), intensity=np.stack(intens),
+                   gt_t=np.stack(gts))
+    imu = None
+    if skew:
+        # world-frame orientation stream covering the sweeps with margin
+        # (the yaw of the trajectory is continuous in absolute time)
+        t_imu = np.arange(-0.15, NUM_SCANS * period + 0.15, 1.0 / IMU_HZ)
+        yaw = (yaw_rate / period) * t_imu
+        quats = np.stack([np.cos(yaw / 2), np.zeros_like(yaw),
+                          np.zeros_like(yaw), np.sin(yaw / 2)], axis=1)
+        payload["imu_stamps"] = t_imu
+        payload["imu_quats"] = quats
+        imu = (t_imu, quats)
+    np.savez_compressed(cache, **payload)
     return ([dict(xyz=xyzs[i], time=times[i], mask=masks[i],
                   intensity=intens[i]) for i in range(NUM_SCANS)],
-            np.stack(gts))
+            np.stack(gts), imu)
 
 
-def bench_single(cfg, scans, gt_t):
+def bench_single(cfg, scans, gt_t, imu=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -96,6 +122,11 @@ def bench_single(cfg, scans, gt_t):
     from floam_tpu.pipeline import Pipeline
 
     pipe = Pipeline(cfg, dtype=jnp.float32)
+    if imu is not None:
+        # feed the whole orientation stream up front (stamps repeat across
+        # bench reps; the deskew window lookup only needs coverage)
+        for ts, q in zip(*imu):
+            pipe.add_imu(float(ts), q)
     # warmup: init + compile + let opt_count decay to steady state
     for i, s in enumerate(scans):
         pipe.process(s, 0.1 * i)
@@ -169,7 +200,7 @@ def main():
                          time=jnp.asarray(s["time"]),
                          mask=jnp.asarray(s["mask"])) for s in raw]
 
-    raw_scans, gt_t = get_scans(cfg)
+    raw_scans, gt_t, _ = get_scans(cfg)
     scans = upload(raw_scans)
 
     single_rate, ate = bench_single(cfg, scans, gt_t)
@@ -177,25 +208,45 @@ def main():
     batched_rate = bench_batched(cfg, scans, batch=batch)
     headline = max(single_rate, batched_rate)
 
-    # BASELINE config 4: the two-phase deskew registration
-    # (UpdatePointsToMapSelector, src/odomEstimationClass.cpp:34-50 —
-    # registers twice per scan, so roughly half the vanilla rate), run on
-    # MOTION-SKEWED scans — the input deskew exists for (README.md:9-16).
+    # BASELINE config 4: IMU rotational deskew on ROTATIONALLY skewed
+    # sweeps (1.2 rad/s of in-sweep yaw — the handheld smear the fork
+    # exists to remove, README.md:9-16, dataHandler.cpp:93-122).
     # vanilla-on-skewed is the control: deskew must beat it on accuracy.
-    raw_skew, gt_skew = get_scans(cfg, skew=True)
+    # (Pure constant-velocity smear needs no deskew here — scan-to-map
+    # registration absorbs it; measured in docs/budget_sweep_bench.jsonl.)
+    import dataclasses
+
+    from floam_tpu.config import DeskewConfig
+
+    raw_skew, gt_skew, imu_skew = get_scans(cfg, skew=True)
     skew_scans = upload(raw_skew)
-    cfg_deskew = FloamConfig.kitti_hdl64(deskew=True)
-    deskew_rate, deskew_ate = bench_single(cfg_deskew, skew_scans, gt_skew)
+    cfg_deskew = dataclasses.replace(
+        cfg, deskew=DeskewConfig(enabled=True,
+                                 extrinsic_rpy=(0.0, 0.0, 0.0)))
+    deskew_rate, deskew_ate = bench_single(cfg_deskew, skew_scans, gt_skew,
+                                           imu=imu_skew)
     _, skewed_ate_no_deskew = bench_single(cfg, skew_scans, gt_skew)
 
-    # Long-horizon accuracy: 240-frame outdoor circuit with revisits and
-    # 2 cm range noise, through the full product SequenceRunner (windowed
-    # BA on) — the committed replay-validation analogue
-    # (/root/reference/README.md:59-67; drift metric = KITTI devkit rule)
+    # Long-horizon accuracy + PRODUCT-LOOP throughput: 240-frame outdoor
+    # circuit with revisits and 2 cm range noise through the full
+    # SequenceRunner — scans stream host->device through the quantized
+    # chunked wire format exactly as a deployment would (the committed
+    # replay-validation analogue, /root/reference/README.md:59-67; drift
+    # metric = KITTI devkit rule). Default config = BA off (the committed
+    # ablation decision, docs/ba_ablation.jsonl); a BA-on run is reported
+    # alongside for the refinement-mode numbers.
     sys.path.insert(0, str(Path(__file__).parent / "scripts"))
     from longrun_sim import run_longrun
 
-    longrun = run_longrun(frames=240, noise=0.02, workers=8)
+    # short warm pass first: the streaming programs (q16 decode variant of
+    # the fused step, BA window) compile on first use in this process, and
+    # the persistent cache does not reliably carry executables across
+    # processes on this runtime — measure the product loop warm, which is
+    # the state any deployment sits in after its first seconds
+    run_longrun(frames=24, noise=0.02, workers=8, ba=False)
+    run_longrun(frames=24, noise=0.02, workers=8, ba=True)
+    longrun = run_longrun(frames=240, noise=0.02, workers=8, ba=False)
+    longrun_ba = run_longrun(frames=240, noise=0.02, workers=8, ba=True)
 
     print(json.dumps({
         "metric": "scans_per_sec_per_chip",
@@ -212,10 +263,11 @@ def main():
         "skewed_ate_no_deskew_m": round(skewed_ate_no_deskew, 4),
         "longrun_frames": longrun["frames"],
         "longrun_ate_m": longrun["longrun_ate_m"],
-        "longrun_ate_odom_m": longrun["longrun_ate_odom_m"],
         "longrun_drift_pct": longrun["longrun_drift_pct"],
         "longrun_rate": longrun["longrun_rate"],
         "longrun_rate_steady": longrun["longrun_rate_steady"],
+        "longrun_ba_ate_m": longrun_ba["longrun_ate_m"],
+        "longrun_ba_rate": longrun_ba["longrun_rate"],
         "points_per_scan": int(raw_scans[0]["mask"].sum()),
         "device": str(jax.devices()[0]),
     }))

@@ -160,9 +160,15 @@ class OdomConfig:
     #: (per-sector rank-major) and surf samples azimuth-interleaved, so
     #: overflow drops the weakest/densest points uniformly — the TPU
     #: analogue of the reference's scan-side VoxelGrid downsample
-    #: (src/odomEstimationClass.cpp:137-142, leaf 0.4/0.8 keeps a similar
-    #: ~2k/~3k points per scan). k-NN gather cost is linear in these.
-    scan_edge_capacity: int = 2048  # edge queries after compaction
+    #: (src/odomEstimationClass.cpp:137-142). k-NN gather cost is linear
+    #: in these. Because edge compaction is RANK-major (strongest
+    #: curvature picks first), a small edge capacity doubles as a QUALITY
+    #: filter: the round-4 sweep (docs/budget_sweep*.jsonl) measured edge
+    #: 512 vs 2048 at ~1.7x LOWER longrun drift AND +20-25% throughput on
+    #: both the longrun circuit and the 115k-pt bench spiral — weak-edge
+    #: tail factors actively hurt the GN solution. Surf capacity stays
+    #: 4096 (halving it regressed accuracy on dense 1800-step scans).
+    scan_edge_capacity: int = 512  # edge queries after compaction
     scan_surf_capacity: int = 4096  # surf queries after compaction
     scan_surf_slots: int = 8192  # strided surf sample grid, pre-compaction
     map_edge_super: int = 3  # 27 ways/bucket, view rows 128 f32
@@ -218,9 +224,20 @@ class BAConfig:
     g2o/BALM back-ends (src/utils.cpp:3-78, odomEstimationNode.cpp:373-387;
     its own keyframe history is write-only — quirk 9). Refined poses feed
     the exported trajectory/posegraph; the live front-end state is not
-    perturbed (matching the reference's front-end/back-end split)."""
+    perturbed (matching the reference's front-end/back-end split).
 
-    enabled: bool = True
+    DEFAULT OFF: the committed ablation (docs/ba_ablation.jsonl, 24
+    configs x 240-frame longrun, noise 0.02/0.08, full and degraded
+    front-ends) shows window-BA against the same local map the odometry
+    already registered to improves ATE by at most ~3% while costing ~1
+    extra odometry-step of device time per `every` frames (~2x wall on
+    the product loop). The information in the window factors is already
+    absorbed by scan-to-map GN; materially better requires revisit
+    (map-to-map) constraints, which is posegraph back-end territory —
+    exactly what the g2o export hands off. Enable for refinement runs
+    where throughput is secondary."""
+
+    enabled: bool = False
     #: keyframes per window
     window: int = 8
     #: run BA every N new keyframes (once the window is full)

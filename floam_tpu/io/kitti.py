@@ -203,3 +203,33 @@ class KittiSequence:
         for i, f in enumerate(self.bin_files):
             yield float(self.times[i]), bin_to_ring_scan(load_bin(f),
                                                          self.lidar)
+
+    def iter_packed_q16(self) -> Iterator[Tuple[float, tuple]]:
+        """Streams scans as quantized host wire-format tuples
+        (RingScan.pack_host_q16) — ~2.4x fewer host->device bytes than
+        f32 planes. Wrap with runner.chunked_device_stream and feed
+        Pipeline.process directly; the decode happens inside the jitted
+        step. (The hot streaming path for non-IMU runs: IMU deskew needs
+        host-side time/mask and should use __iter__.)"""
+        ld = self.lidar
+        native = _load_native()
+        if native is not None and self.bin_files:
+            pf = native.ScanPrefetcher(
+                self.bin_files, ld.num_lines, ld.points_per_ring,
+                ld.min_distance, ld.max_distance, ld.scan_period)
+            try:
+                for i, (xyz, inten, t, mask) in enumerate(pf):
+                    yield float(self.times[i]), RingScan.pack_host_q16(
+                        xyz, t, mask, inten, cols=ld.points_per_ring,
+                        range_m=ld.max_distance)
+            finally:
+                pf.close()
+            return
+        for i, f in enumerate(self.bin_files):
+            s = bin_to_ring_scan(load_bin(f), ld)
+            import numpy as _np
+
+            yield float(self.times[i]), RingScan.pack_host_q16(
+                _np.asarray(s.xyz), _np.asarray(s.time),
+                _np.asarray(s.mask), _np.asarray(s.intensity),
+                cols=ld.points_per_ring, range_m=ld.max_distance)

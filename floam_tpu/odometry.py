@@ -45,6 +45,13 @@ class OdomDiagnostics(NamedTuple):
     map_edge_points: jnp.ndarray  # () int32 occupied voxels
     map_surf_points: jnp.ndarray  # () int32
     cost: jnp.ndarray  # () final weighted cost
+    #: (8,) [q wxyz, t xyz, is_keyframe] — the per-frame pose snapshot the
+    #: host loop records. A CONCATENATED (hence freshly computed, never
+    #: aliasing the state's own pose buffers) output: holding it across
+    #: later donated steps is safe, and recording a frame costs ZERO extra
+    #: host dispatches (the previous per-frame .copy() calls each paid
+    #: tunnel dispatch latency)
+    pose_row: jnp.ndarray = None
 
 
 def _edge_leaf(oc: OdomConfig) -> float:
@@ -462,6 +469,9 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
         map_edge_points=map_edge_n,
         map_surf_points=map_surf_n,
         cost=stats.cost,
+        pose_row=jnp.concatenate([
+            new_pose.q, new_pose.t,
+            is_kf[None].astype(new_pose.t.dtype)]),
     )
     return new_state, diag
 

@@ -114,7 +114,18 @@ def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig,
     (edge, surf) feature clouds — the cloud the reference accumulates into
     its exit-time Dump (odomEstimationNode.cpp:284-287) — at zero extra
     compute.
+
+    ``scan`` may be a RingScan, a packed (R, C, 5|6) plane
+    (RingScan.pack_host), or a quantized (u16 data, counts) pair
+    (RingScan.pack_host_q16) — the split/decode then happens in-program,
+    so streaming hosts pay one (small) upload dispatch per frame.
     """
+    if not isinstance(scan, RingScan):
+        if isinstance(scan, tuple):  # quantized (data, counts) pair
+            scan = RingScan.from_packed_q16(
+                *scan, capacity=cfg.lidar.points_per_ring)
+        else:
+            scan = RingScan.from_packed(scan)
     edge, surf = _features_from_scan(scan, cfg)
     if not cfg.odom.deskew:
         state2, diag = odometry.odom_step_impl(state, edge, surf, cfg)
@@ -148,29 +159,34 @@ def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig,
 
 @dataclasses.dataclass
 class FrameRecord:
-    """Per-frame result. Pose/keyframe fields are device-backed and
-    convert lazily: forcing a host readback every frame costs ~10-100x the
-    whole device step in sync latency (the reference's equivalent is its
-    per-frame ROS publish, which is also fire-and-forget)."""
+    """Per-frame result. The pose snapshot is ONE device-backed (8,) row
+    ([q wxyz, t xyz, is_keyframe] — diag.pose_row, a freshly-computed step
+    output that never aliases donated state buffers) converted lazily:
+    forcing a host readback every frame costs ~10-100x the whole device
+    step in sync latency (the reference's equivalent is its per-frame ROS
+    publish, which is also fire-and-forget)."""
 
     stamp: float
-    _q: Any
-    _t: Any
-    _kf: Any
+    _row: Any  # (8,) jax array until materialized, then np.ndarray
     _n_edge: Any = None
     _n_surf: Any = None
 
+    def host_row(self) -> np.ndarray:
+        if not isinstance(self._row, np.ndarray):
+            self._row = np.asarray(self._row)
+        return self._row
+
     @property
     def pose_q(self) -> np.ndarray:
-        return np.asarray(self._q)
+        return self.host_row()[:4]
 
     @property
     def pose_t(self) -> np.ndarray:
-        return np.asarray(self._t)
+        return self.host_row()[4:7]
 
     @property
     def is_keyframe(self) -> bool:
-        return bool(self._kf)
+        return bool(self.host_row()[7] > 0.5)
 
     @property
     def num_edge_factors(self) -> int:
@@ -262,16 +278,29 @@ class Pipeline:
             slerp=self.cfg.deskew.slerp)
         return deskew_ops.align_to_orientation(out, q_init)
 
-    def process(self, scan: RingScan, stamp: float = 0.0) -> FrameRecord:
+    def process(self, scan, stamp: float = 0.0) -> FrameRecord:
+        """``scan``: a RingScan, or a packed (R, C, 5|6) plane / its
+        device upload (the zero-extra-dispatch streaming path; IMU-deskew
+        runs need the host time/mask planes and unpack eagerly)."""
         t0 = time.perf_counter()
+        cap = self.cfg.lidar.points_per_ring
+
+        def unpack(s):
+            if isinstance(s, RingScan):  # must test BEFORE tuple: a
+                return s  # NamedTuple IS a tuple
+            if isinstance(s, tuple):
+                return RingScan.from_packed_q16(*s, capacity=cap)
+            return RingScan.from_packed(s)
+
         if self.cfg.deskew.enabled:
-            scan = self._apply_imu_deskew(scan, stamp)
+            scan = self._apply_imu_deskew(unpack(scan), stamp)
         if not self._initialized:
+            scan = unpack(scan)
             edge, surf = _features_from_scan(scan, self.cfg)
             self.state = odometry.init_map(self.state, edge, surf, self.cfg)
             self._initialized = True
-            rec = FrameRecord(stamp, jnp.asarray([1.0, 0, 0, 0], self.dtype),
-                              jnp.zeros(3, self.dtype), jnp.asarray(True))
+            rec = FrameRecord(stamp, np.array(
+                [1.0, 0, 0, 0, 0, 0, 0, 1.0], np.dtype(self.dtype)))
             if self.collect_clouds:
                 self.last_clouds = (edge, surf)
                 if self.keep_clouds:
@@ -284,10 +313,9 @@ class Pipeline:
                     self._pending_clouds.append(clouds)
             else:
                 self.state, diag = self._step(self.state, scan)
-            # device-backed record: async device copies (the state buffers
-            # themselves are donated into the next step), no host sync
-            rec = FrameRecord(stamp, self.state.pose.q.copy(),
-                              self.state.pose.t.copy(), diag.is_keyframe,
+            # device-backed record: diag.pose_row is already a distinct
+            # step output — recording costs zero extra dispatches
+            rec = FrameRecord(stamp, diag.pose_row,
                               diag.num_edge_factors, diag.num_surf_factors)
         self._times_ms.append((time.perf_counter() - t0) * 1e3)
         self.frames.append(rec)
@@ -382,30 +410,26 @@ class Pipeline:
         return float(np.mean(self._times_ms[1:])) if len(self._times_ms) > 1 \
             else self._times_ms[0]
 
-    def keyframe_flags(self) -> np.ndarray:
-        """(N,) bool keyframe gate per frame. Device-backed flags are
-        fetched as ONE stacked transfer and cached back into the records
-        (a per-record read costs a host-device round trip each)."""
-        dev = [f for f in self.frames
-               if not isinstance(f._kf, (bool, np.bool_))]
+    def _materialize_rows(self) -> None:
+        """ONE stacked device->host transfer for every still-device-backed
+        pose row (a per-record read costs a round trip each)."""
+        dev = [f for f in self.frames if not isinstance(f._row, np.ndarray)]
         if dev:
-            fetched = jax.device_get(jnp.stack([f._kf for f in dev]))
-            for f, v in zip(dev, fetched):
-                f._kf = bool(v)
-        return np.asarray([bool(f._kf) for f in self.frames])
+            fetched = jax.device_get(jnp.stack([f._row for f in dev]))
+            for f, row in zip(dev, fetched):
+                f._row = np.asarray(row)
+
+    def keyframe_flags(self) -> np.ndarray:
+        """(N,) bool keyframe gate per frame (one stacked transfer)."""
+        self._materialize_rows()
+        return np.asarray([f.is_keyframe for f in self.frames])
 
     def materialize_records(self) -> None:
         """Fetch every device-backed frame-record field to host in a few
-        stacked transfers (pose, keyframe flag, factor counts) and cache
-        them back, so per-frame record reads during export never pay a
-        device round trip each."""
-        dev = [f for f in self.frames if not isinstance(f._q, np.ndarray)]
-        if dev:
-            qs, ts = jax.device_get((jnp.stack([f._q for f in dev]),
-                                     jnp.stack([f._t for f in dev])))
-            for f, q, t in zip(dev, qs, ts):
-                f._q, f._t = q, t
-        self.keyframe_flags()
+        stacked transfers (pose rows, factor counts) and cache them back,
+        so per-frame record reads during export never pay a device round
+        trip each."""
+        self._materialize_rows()
         dev = [f for f in self.frames
                if f._n_edge is not None
                and not isinstance(f._n_edge, (int, np.integer))]
@@ -420,7 +444,7 @@ class Pipeline:
         device->host transfer for the whole trajectory."""
         if not self.frames:
             return np.zeros((0,)), np.zeros((0, 4)), np.zeros((0, 3))
+        self._materialize_rows()
         st = np.array([f.stamp for f in self.frames])
-        qs = np.asarray(jnp.stack([f._q for f in self.frames]))
-        ts = np.asarray(jnp.stack([f._t for f in self.frames]))
-        return st, qs, ts
+        rows = np.stack([f.host_row() for f in self.frames])
+        return st, rows[:, :4], rows[:, 4:7]

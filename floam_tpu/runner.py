@@ -70,6 +70,42 @@ def _producer_iter(source: Iterable, timeout_s: Optional[float] = None,
         yield item
 
 
+def chunked_device_stream(host_stream: Iterable[Tuple[float, np.ndarray]],
+                          chunk: int = 8) -> Iterator:
+    """Adapt a (stamp, packed host scan) stream into a (stamp, packed
+    DEVICE scan) stream whose uploads happen one STACKED chunk at a time.
+
+    On a tunneled/streamed runtime an H2D upload only completes behind the
+    work already queued on the device (~queue-depth x step time — the
+    measured per-frame upload convoy in docs/PERFORMANCE.md); stacking
+    ``chunk`` frames into one transfer pays that wait once per chunk
+    instead of once per frame. Meant to run inside the runner's producer
+    thread: iterate `SequenceRunner.run(chunked_device_stream(gen()))`.
+    Per-frame items come back as cheap device slices of the chunk."""
+    buf: list = []
+
+    def flush():
+        stamps = [s for s, _ in buf]
+        payloads = [p for _, p in buf]
+        buf.clear()
+        if isinstance(payloads[0], tuple):  # e.g. pack_host_q16 pairs
+            devs = tuple(jnp.asarray(np.stack([p[k] for p in payloads]))
+                         for k in range(len(payloads[0])))
+            for j, s in enumerate(stamps):
+                yield s, tuple(d[j] for d in devs)
+        else:
+            dev = jnp.asarray(np.stack(payloads))
+            for j, s in enumerate(stamps):
+                yield s, dev[j]
+
+    for item in host_stream:
+        buf.append(item)
+        if len(buf) >= chunk:
+            yield from flush()
+    if buf:
+        yield from flush()
+
+
 @dataclasses.dataclass
 class RunResult:
     stamps: np.ndarray
@@ -183,9 +219,11 @@ class SequenceRunner:
         runner.pipe._initialized = len(st) > 0
         kf = load_kf_flags(path)
         for i in range(len(st)):
-            runner.pipe.frames.append(FrameRecord(
-                float(st[i]), np.asarray(qs[i]), np.asarray(ts[i]),
-                bool(kf[i]) if kf is not None else False))
+            row = np.concatenate([
+                np.asarray(qs[i], np.float64),
+                np.asarray(ts[i], np.float64),
+                [1.0 if (kf is not None and kf[i]) else 0.0]])
+            runner.pipe.frames.append(FrameRecord(float(st[i]), row))
         return runner
 
     def run(self, scans: Iterable[Tuple[float, RingScan]],
@@ -299,14 +337,11 @@ class SequenceRunner:
         data, not loop position. ``final`` forces both phases through."""
         self._consume_kf_inflight()
         if pending:
-            stacked = (jnp.stack([r._kf for _, r, _, _ in pending]),
-                       jnp.stack([r._q for _, r, _, _ in pending]),
-                       jnp.stack([r._t for _, r, _, _ in pending]))
-            for a in stacked:
-                try:
-                    a.copy_to_host_async()
-                except AttributeError:  # older jax.Array without the hint
-                    pass
+            stacked = jnp.stack([r._row for _, r, _, _ in pending])
+            try:
+                stacked.copy_to_host_async()
+            except AttributeError:  # older jax.Array without the hint
+                pass
             self._kf_inflight = (list(pending), stacked)
             pending.clear()
         if final:
@@ -318,17 +353,16 @@ class SequenceRunner:
         entries, stacked = self._kf_inflight
         self._kf_inflight = None
         with self.timers.scope("kf_flag_fetch"):
-            flags, qs, ts = jax.device_get(stacked)
-        for (idx, rec, scan, clouds), kf, q, t in zip(entries, flags, qs,
-                                                      ts):
-            # keep the DEVICE pose refs for the BA window before caching
-            # the host values into the record: feeding cached numpy poses
-            # to the jitted BA call would re-upload ~2*window small host
-            # arrays per window (~5 ms latency each through the tunnel)
-            q_dev, t_dev = rec._q, rec._t
-            rec._kf, rec._q, rec._t = bool(kf), q, t
-            if rec._kf:
-                self._handle_keyframe(idx, rec, scan, clouds, q_dev, t_dev)
+            rows = jax.device_get(stacked)
+        for (idx, rec, scan, clouds), row in zip(entries, rows):
+            # keep the DEVICE pose row for the BA window before caching
+            # the host value into the record: feeding cached numpy poses
+            # to the jitted BA call would re-upload small host arrays per
+            # window (~5 ms latency each through the tunnel)
+            row_dev = rec._row
+            rec._row = np.asarray(row)
+            if rec.is_keyframe:
+                self._handle_keyframe(idx, rec, scan, clouds, row_dev)
 
     def _viz_update(self, stamp: float) -> None:
         """Publish a live snapshot (trajectory + map) — the analogue of the
@@ -339,7 +373,7 @@ class SequenceRunner:
         self.pipe.materialize_records()
         if not self.pipe.frames:
             return
-        traj = np.stack([np.asarray(f._t) for f in self.pipe.frames])
+        traj = np.stack([f.pose_t for f in self.pipe.frames])
         if self.global_map is not None and self.global_map.num_points:
             pts = self.global_map.get_map()
         else:
@@ -351,7 +385,7 @@ class SequenceRunner:
                             "scans_per_sec", 0.0), force=True)
 
     def _handle_keyframe(self, frame_idx: int, rec, scan, clouds,
-                         q_dev=None, t_dev=None) -> None:
+                         row_dev=None) -> None:
         if self.global_map is not None and scan is not None:
             xyz = np.asarray(scan.xyz).reshape(-1, 3)
             mask = np.asarray(scan.mask).reshape(-1)
@@ -361,10 +395,9 @@ class SequenceRunner:
                                    mask=jnp.asarray(mask))
         if self.cfg.ba.enabled:
             self._on_keyframe(frame_idx, clouds,
-                              q_dev if q_dev is not None else rec._q,
-                              t_dev if t_dev is not None else rec._t)
+                              row_dev if row_dev is not None else rec._row)
 
-    def _on_keyframe(self, frame_idx: int, clouds, q_dev, t_dev) -> None:
+    def _on_keyframe(self, frame_idx: int, clouds, row_dev) -> None:
         """Track the keyframe window; run BA every cfg.ba.every keyframes
         once the window is full."""
         bc = self.cfg.ba
@@ -372,7 +405,7 @@ class SequenceRunner:
         if clouds is None:
             return
         edge, surf = clouds
-        self._kf_window.append((frame_idx, edge, surf, q_dev, t_dev))
+        self._kf_window.append((frame_idx, edge, surf, row_dev))
         if len(self._kf_window) > bc.window:
             self._kf_window.pop(0)
         self._kf_since_ba += 1
@@ -395,28 +428,28 @@ class SequenceRunner:
             oc, eb, sb = self.cfg.odom, bc.edge_budget, bc.surf_budget
 
             def ba_call(map_state, e_xyzs, e_masks, s_xyzs, s_masks,
-                        quats, trans):
+                        rows):
                 e_xyz = jnp.stack([x[:eb] for x in e_xyzs])
                 e_mask = jnp.stack([m[:eb] for m in e_masks])
                 s_xyz = jnp.stack([x[:sb] for x in s_xyzs])
                 s_mask = jnp.stack([m[:sb] for m in s_masks])
+                stacked = jnp.stack(rows)  # (K, 8) pose rows
                 return window_ba_from_clouds(
                     map_state, e_xyz, e_mask, s_xyz, s_mask,
-                    jnp.stack(quats), jnp.stack(trans), oc=oc,
+                    stacked[:, :4], stacked[:, 4:7], oc=oc,
                     iters=bc.iters, prior_weight=bc.prior_weight,
                     damping=bc.damping)
 
             self._ba_fn = jax.jit(ba_call)
-        idxs = [i for i, _, _, _, _ in self._kf_window]
+        idxs = [i for i, _, _, _ in self._kf_window]
         with self.timers.scope("ba_dispatch"):
             q2, t2 = self._ba_fn(
                 self.pipe.state.map,
-                tuple(e.xyz for _, e, _, _, _ in self._kf_window),
-                tuple(e.mask for _, e, _, _, _ in self._kf_window),
-                tuple(s.xyz for _, _, s, _, _ in self._kf_window),
-                tuple(s.mask for _, _, s, _, _ in self._kf_window),
-                tuple(q for _, _, _, q, _ in self._kf_window),
-                tuple(t for _, _, _, _, t in self._kf_window))
+                tuple(e.xyz for _, e, _, _ in self._kf_window),
+                tuple(e.mask for _, e, _, _ in self._kf_window),
+                tuple(s.xyz for _, _, s, _ in self._kf_window),
+                tuple(s.mask for _, _, s, _ in self._kf_window),
+                tuple(r for _, _, _, r in self._kf_window))
         # keep the refined poses device-side AND unsliced: syncing (or even
         # eagerly slicing) here costs dispatch latency per window on the
         # frame loop; _apply_ba fetches every window in one transfer at
@@ -590,7 +623,12 @@ def run_kitti_sequence(seq_dir, cfg: Optional[FloamConfig] = None,
     runner = SequenceRunner(cfg, output_dir=output_dir)
 
     def gen():
-        for i, (stamp, scan) in enumerate(seq):
+        # non-IMU runs stream the quantized chunked wire format (the fast
+        # host->device path); IMU-deskew runs need host time/mask planes
+        src = seq.iter_packed_q16() if not cfg.deskew.enabled else iter(seq)
+        it = src if cfg.deskew.enabled else \
+            chunked_device_stream(src, chunk=8)
+        for i, (stamp, scan) in enumerate(it):
             if max_frames and i >= max_frames:
                 break
             yield stamp, scan

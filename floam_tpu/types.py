@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,24 +36,125 @@ class RingScan(NamedTuple):
         return self.xyz.shape[1]
 
     @staticmethod
-    def from_host(xyz: np.ndarray, time: np.ndarray, mask: np.ndarray,
-                  intensity: Optional[np.ndarray] = None) -> "RingScan":
-        """Build a device RingScan from host arrays with ONE host->device
-        transfer: the fields are packed into a single (R, C, 5|6) plane and
-        split by cheap device slices. Separate per-field uploads are
-        LATENCY-bound (a full host-device round trip each — tens of ms per
-        frame through a tunneled TPU), not bandwidth-bound."""
+    def pack_host(xyz: np.ndarray, time: np.ndarray, mask: np.ndarray,
+                  intensity: Optional[np.ndarray] = None) -> np.ndarray:
+        """Host-side packing for the streaming fast path: one contiguous
+        (R, C, 5|6) float32 plane. `jnp.asarray(packed)` is then exactly
+        ONE host->device dispatch, and the field split happens for free
+        INSIDE the jitted step (from_packed at trace time) — the eager
+        from_host split costs ~5 extra dispatches per frame, each paying
+        tunnel latency (docs/PERFORMANCE.md)."""
         planes = [np.asarray(xyz, np.float32),
                   np.asarray(time, np.float32)[..., None],
                   np.asarray(mask, np.float32)[..., None]]
         if intensity is not None:
             planes.append(np.asarray(intensity, np.float32)[..., None])
-        d = jnp.asarray(np.concatenate(planes, axis=-1))
+        return np.concatenate(planes, axis=-1)
+
+    @staticmethod
+    def from_packed(d) -> "RingScan":
+        """Split a packed (R, C, 5|6) plane into a RingScan. Call inside a
+        jitted program (free) or eagerly (one slice dispatch per field)."""
+        d = jnp.asarray(d)
         R, C = d.shape[0], d.shape[1]
-        inten = d[..., 5] if intensity is not None else \
-            jnp.zeros((R, C), jnp.float32)
+        inten = d[..., 5] if d.shape[-1] > 5 else \
+            jnp.zeros((R, C), d.dtype)
         return RingScan(xyz=d[..., :3], intensity=inten, time=d[..., 3],
                         mask=d[..., 4] > 0.5)
+
+    #: default wire-format quantization step for pack_host_q16 xyz (m);
+    #: pass range_m= to derive a tighter scale from the sensor's span
+    Q16_XYZ_SCALE = 0.005
+    #: per-point time is stored as u16 fraction of this span (seconds);
+    #: 2.0 s covers multi-revolution stamps at 30 us resolution
+    Q16_TIME_SPAN = 2.0
+    #: intensity stored as u16 fraction of this span
+    Q16_INTEN_SPAN = 256.0
+
+    @staticmethod
+    def pack_host_q16(xyz: np.ndarray, time: np.ndarray, mask: np.ndarray,
+                      intensity: Optional[np.ndarray] = None,
+                      col_round: int = 256, cols: Optional[int] = None,
+                      range_m: Optional[float] = None):
+        """QUANTIZED wire format for the streaming host->device link:
+        (data uint16 (R, C_eff, 5), counts int32 (R,), meta f32 (2,)).
+
+        The host->device link is the product loop's bottleneck wherever
+        the transport is slow relative to HBM (the tunneled bench runtime
+        at ~50-150 MB/s effective; a congested PCIe link in production):
+        a raw f32 (R, C, 6) plane is ~3.5 MB/scan while the same scan
+        quantized is ~0.5 MB. Encoding: xyz as int16 multiples of the
+        scale in meta[0] (``range_m`` picks (range+2)/32767 — e.g. 1.9 mm
+        for a 60 m sensor, far below range noise), time/intensity as u16
+        spans, the mask replaced by per-ring valid COUNTS (rows are
+        prefix-compacted, so mask == arange < count), and the column axis
+        clipped to the widest valid ring rounded up to ``col_round`` (a
+        sparse scan ships only its occupied prefix). Decode happens
+        in-program (from_packed_q16) at zero host cost."""
+        xyz = np.asarray(xyz)
+        mask = np.asarray(mask, bool)
+        R, C = mask.shape
+        counts = mask.sum(axis=1).astype(np.int32)
+        if cols is not None:
+            # fixed width (streams must keep one width per run: each
+            # distinct width is its own compiled program)
+            c_eff = min(cols, C)
+        else:
+            c_eff = int(counts.max()) if len(counts) else 0
+            c_eff = max(col_round, ((c_eff + col_round - 1) // col_round)
+                        * col_round)
+            c_eff = min(c_eff, C)
+        counts = np.minimum(counts, c_eff)
+        scale = RingScan.Q16_XYZ_SCALE if range_m is None else \
+            (float(range_m) + 2.0) / 32767.0
+        data = np.zeros((R, c_eff, 5), np.uint16)
+        q = np.clip(np.round(xyz[:, :c_eff] / scale),
+                    -32768, 32767).astype(np.int16)
+        data[..., :3] = q.view(np.uint16)
+        data[..., 3] = np.clip(
+            np.asarray(time)[:, :c_eff] / RingScan.Q16_TIME_SPAN, 0.0,
+            1.0) * 65535
+        if intensity is not None:
+            data[..., 4] = np.clip(
+                np.asarray(intensity)[:, :c_eff] / RingScan.Q16_INTEN_SPAN,
+                0.0, 1.0) * 65535
+        meta = np.array([scale, RingScan.Q16_TIME_SPAN], np.float32)
+        return data, counts, meta
+
+    @staticmethod
+    def from_packed_q16(data, counts, meta, capacity: int) -> "RingScan":
+        """Decode the pack_host_q16 wire format (call inside a jitted
+        program); pads the column axis back to the engine's static
+        ``capacity``. ``meta`` = (xyz_scale, time_span) f32."""
+        data = jnp.asarray(data)
+        counts = jnp.asarray(counts)
+        meta = jnp.asarray(meta)
+        R, c_eff, _ = data.shape
+        xyz_q = jax.lax.bitcast_convert_type(
+            data[..., :3], jnp.int16).astype(jnp.float32)
+        xyz = xyz_q * meta[0]
+        time = data[..., 3].astype(jnp.float32) * (meta[1] / 65535.0)
+        inten = data[..., 4].astype(jnp.float32) * (
+            RingScan.Q16_INTEN_SPAN / 65535.0)
+        mask = jnp.arange(c_eff, dtype=jnp.int32)[None, :] < counts[:, None]
+        pad = capacity - c_eff
+        if pad > 0:
+            xyz = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))
+            time = jnp.pad(time, ((0, 0), (0, pad)))
+            inten = jnp.pad(inten, ((0, 0), (0, pad)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        return RingScan(xyz=xyz, intensity=inten, time=time, mask=mask)
+
+    @staticmethod
+    def from_host(xyz: np.ndarray, time: np.ndarray, mask: np.ndarray,
+                  intensity: Optional[np.ndarray] = None) -> "RingScan":
+        """Build a device RingScan from host arrays with ONE host->device
+        transfer plus eager field slices. Prefer passing
+        `jnp.asarray(RingScan.pack_host(...))` straight to
+        Pipeline.process on hot streaming paths — that defers the split
+        into the jitted step and costs a single dispatch."""
+        return RingScan.from_packed(
+            jnp.asarray(RingScan.pack_host(xyz, time, mask, intensity)))
 
 
 class PointBatch(NamedTuple):

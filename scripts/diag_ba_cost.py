@@ -47,8 +47,8 @@ def main():
     e_mask = jnp.stack([e.mask[:eb] for e, _ in w])
     s_xyz = jnp.stack([s.xyz[:sb] for _, s in w])
     s_mask = jnp.stack([s.mask[:sb] for _, s in w])
-    quats = jnp.stack([pipe.frames[i]._q for i in range(-bc.window, 0)])
-    trans = jnp.stack([pipe.frames[i]._t for i in range(-bc.window, 0)])
+    rows = jnp.stack([pipe.frames[i]._row for i in range(-bc.window, 0)])
+    quats, trans = rows[:, :4], rows[:, 4:7]
     fn = jax.jit(functools.partial(
         window_ba_from_clouds, oc=cfg.odom, iters=bc.iters,
         prior_weight=bc.prior_weight, damping=bc.damping))

@@ -54,16 +54,29 @@ def run_longrun(frames: int = 240, noise: float = 0.0, azimuth_steps: int = 720,
     raw = _scan_cache[key]
     gen_s = time.perf_counter() - t0
 
-    def scan_stream():
+    from floam_tpu.runner import chunked_device_stream
+
+    def host_stream():
         for i, (xyz, tm, mask, inten) in enumerate(raw):
-            yield 0.1 * i, RingScan.from_host(xyz, tm, mask, intensity=inten)
+            # quantized wire format: ~7x fewer host->device bytes than the
+            # raw f32 plane (the product loop's bottleneck on slow links)
+            yield 0.1 * i, RingScan.pack_host_q16(
+                xyz, tm, mask, inten, cols=768,
+                range_m=cfg.lidar.max_distance)
+
+    def scan_stream():
+        # chunked device upload: one stacked transfer per 8 frames pays
+        # the tunneled-runtime upload convoy once per chunk
+        return chunked_device_stream(host_stream(), chunk=8)
 
     if not ba:
         cfg = dataclasses.replace(
             cfg, ba=dataclasses.replace(cfg.ba, enabled=False))
-    elif ba_overrides:
+    else:
+        over = dict(ba_overrides or {})
+        over.setdefault("enabled", True)
         cfg = dataclasses.replace(
-            cfg, ba=dataclasses.replace(cfg.ba, **ba_overrides))
+            cfg, ba=dataclasses.replace(cfg.ba, **over))
     runner = SequenceRunner(cfg)
     gt_q = np.stack([q for q, _ in gt])
     gt_t = np.stack([t for _, t in gt])

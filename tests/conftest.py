@@ -27,6 +27,9 @@ if "cpu" != jax.config.jax_platforms:
         pass
 
 jax.config.update("jax_enable_x64", True)
+# (a persistent XLA:CPU compile cache was tried here and reverted: AOT
+# entries are machine-feature-pinned — reloading them on a slightly
+# different host risks SIGILL and it bought no wall time on this suite)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

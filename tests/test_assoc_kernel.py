@@ -74,6 +74,7 @@ def test_surf_parity(Q, C):
                                np.asarray(fx.offset)[both], atol=2e-3)
 
 
+@pytest.mark.slow
 def test_solve_round_parity():
     """Whole _solve_from_candidates rounds agree between backends on a
     realistic map (end-to-end wiring incl. the odometry branch)."""

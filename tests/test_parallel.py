@@ -29,6 +29,7 @@ def _make_batch_inputs(rng, B, n=512, dtype=jnp.float64):
                       mask=jnp.ones((B, n), bool))
 
 
+@pytest.mark.slow
 def test_batched_matches_single(rng):
     """vmap-batched odometry must agree with per-sequence runs."""
     cfg = small_config()
@@ -53,6 +54,7 @@ def test_batched_matches_single(rng):
         assert int(diag_b.num_surf_factors[b]) == int(diag_s.num_surf_factors)
 
 
+@pytest.mark.slow
 def test_sharded_odom_step_runs(rng):
     cfg = small_config()
     mesh = Mesh(np.array(jax.devices()).reshape(8), ("dp",))

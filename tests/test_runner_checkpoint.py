@@ -222,6 +222,7 @@ def test_runner_resume_matches_uninterrupted(tmp_path):
     assert flags_full == flags_res
 
 
+@pytest.mark.slow
 def test_watchdog_stops_stalled_stream(tmp_path):
     """Liveness watchdog: a stalled source ends the run and exports are
     still written (reference watchdog, odomEstimationNode.cpp:170-174)."""

@@ -60,6 +60,7 @@ def test_ba_improves_degraded_odometry():
     assert r_on.ate < r_off.ate, (r_on.ate, r_off.ate)
 
 
+@pytest.mark.slow
 def test_ba_window_refines_perturbed_poses():
     """Direct product-path unit: perturbed keyframe poses pulled back
     toward truth by window_ba_from_clouds against a good map."""
