@@ -25,14 +25,15 @@ def test_q16_roundtrip(rng):
     s = _sim_scan(cfg)
     xyz, tm, mask, inten = (np.asarray(s.xyz), np.asarray(s.time),
                             np.asarray(s.mask), np.asarray(s.intensity))
-    data, counts = RingScan.pack_host_q16(xyz, tm, mask, inten)
+    data, counts, meta = RingScan.pack_host_q16(xyz, tm, mask, inten)
     assert data.dtype == np.uint16
     back = RingScan.from_packed_q16(jnp.asarray(data), jnp.asarray(counts),
+                                    jnp.asarray(meta),
                                     capacity=cfg.lidar.points_per_ring)
     m = np.asarray(back.mask)
     np.testing.assert_array_equal(m, mask)
     np.testing.assert_allclose(np.asarray(back.xyz)[m], xyz[m],
-                               atol=RingScan.Q16_XYZ_SCALE / 2 + 1e-6)
+                               atol=float(meta[0]) / 2 + 1e-6)
     np.testing.assert_allclose(np.asarray(back.time)[m], tm[m],
                                atol=RingScan.Q16_TIME_SPAN / 65535 + 1e-6)
     np.testing.assert_allclose(np.asarray(back.intensity)[m], inten[m],

@@ -47,6 +47,7 @@ def test_pipeline_static_scans():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_pipeline_velocity_deskew_improves_moving_scans():
     """Scans simulated with continuous motion during the sweep: the
     two-phase deskew registration must beat the vanilla path."""
