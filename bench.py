@@ -182,6 +182,51 @@ def bench_batched(cfg, scans, batch=8):
     return n / (time.perf_counter() - t0)
 
 
+def bench_multi_lane(cfg, raw_scans, gt_t, lanes: int = 4, reps: int = 3):
+    """Multi-lane PRODUCT rate on the available chip(s): B independent
+    sequences through MultiSequenceRunner with q16 wire uploads — the
+    deployment axis the multi-chip runner exists for, measured end to end
+    (host packing + upload + lockstep device steps). Returns
+    (lane_scans_per_sec, mean_per_lane_ate)."""
+    import time as _time
+
+    import numpy as np
+
+    from floam_tpu.multi import MultiSequenceRunner
+    from floam_tpu.types import RingScan
+
+    wires = [RingScan.pack_host_q16(s["xyz"], s["time"], s["mask"],
+                                    s["intensity"], cols=2048,
+                                    range_m=cfg.lidar.max_distance)
+             for s in raw_scans]
+
+    def lane_stream(n_reps):
+        def gen():
+            f = 0
+            for r in range(n_reps):
+                for w in (wires if r == 0 else wires[1:]):
+                    yield 0.1 * f, w
+                    f += 1
+        return gen()
+
+    # warm runner: compiles the sharded q16 step (persistent cache makes
+    # the timed runner's retrace cheap)
+    warm = MultiSequenceRunner(cfg, lanes=lanes, n_devices=1)
+    warm.run([lane_stream(1) for _ in range(lanes)])
+
+    runner = MultiSequenceRunner(cfg, lanes=lanes, n_devices=1)
+    gt_rel = gt_t - gt_t[0]
+    gt_q = np.tile(np.array([1.0, 0, 0, 0]), (len(gt_rel), 1))
+    t0 = _time.perf_counter()
+    results = runner.run([lane_stream(reps) for _ in range(lanes)],
+                         gt=[(gt_q, gt_rel)] * lanes)
+    wall = _time.perf_counter() - t0
+    n_frames = len(results[0].stamps)
+    rate = lanes * n_frames / wall
+    ates = [r.ate for r in results if r.ate is not None]
+    return rate, float(np.mean(ates)) if ates else None
+
+
 def main():
     import jax
 
@@ -245,8 +290,37 @@ def main():
     # the state any deployment sits in after its first seconds
     run_longrun(frames=24, noise=0.02, workers=8, ba=False)
     run_longrun(frames=24, noise=0.02, workers=8, ba=True)
+    run_longrun(frames=24, noise=0.02, workers=8, ba=False,
+                with_global_map=True)
     longrun = run_longrun(frames=240, noise=0.02, workers=8, ba=False)
     longrun_ba = run_longrun(frames=240, noise=0.02, workers=8, ba=True)
+    # FULL SLAM (BASELINE config 3): odometry + the global-map feed
+    # (the reference's third executable, laserMappingNode.cpp:52-101)
+    # on the same streaming loop — the map worker decodes the q16 wire on
+    # the host and re-voxelizes in batches off the critical path
+    longrun_map = run_longrun(frames=240, noise=0.02, workers=8, ba=False,
+                              with_global_map=True)
+
+    # LOOP CLOSURE (the pose-graph back-end, floam_tpu.posegraph): a
+    # 2.6-loop circuit with the local-map crop tightened to 30 m so
+    # revisits happen BEYOND the map's memory — the regime where odometry
+    # drift persists and only revisit constraints can close it (with the
+    # default 100 m crop the local map itself re-anchors revisits on this
+    # small circuit; production-scale loops exceed any crop).
+    from floam_tpu.config import LoopClosureConfig
+
+    cfg_lc_base = FloamConfig.kitti_hdl64(crop_radius=30.0)
+    loop_frames = 520
+    lr_off = run_longrun(frames=loop_frames, noise=0.02, workers=8,
+                         ba=False, cfg=cfg_lc_base)
+    cfg_lc = dataclasses.replace(
+        cfg_lc_base, loop=LoopClosureConfig(enabled=True))
+    lr_on = run_longrun(frames=loop_frames, noise=0.02, workers=8,
+                        ba=False, cfg=cfg_lc)
+
+    # MULTI-LANE product rate: 4 sequences in lockstep on the one chip
+    multi_lane_rate, multi_lane_ate = bench_multi_lane(
+        cfg, raw_scans, gt_t, lanes=4, reps=3)
 
     print(json.dumps({
         "metric": "scans_per_sec_per_chip",
@@ -268,6 +342,17 @@ def main():
         "longrun_rate_steady": longrun["longrun_rate_steady"],
         "longrun_ba_ate_m": longrun_ba["longrun_ate_m"],
         "longrun_ba_rate": longrun_ba["longrun_rate"],
+        "longrun_map_rate": longrun_map["longrun_rate"],
+        "longrun_map_rate_steady": longrun_map["longrun_rate_steady"],
+        "longrun_map_ate_m": longrun_map["longrun_ate_m"],
+        "longrun_map_points": longrun_map["map_points"],
+        "loop_frames": loop_frames,
+        "loop_ate_m": lr_on["longrun_ate_m"],
+        "loop_odom_ate_m": lr_off["longrun_ate_m"],
+        "loop_rate": lr_on["longrun_rate"],
+        "multi_lane_rate": round(multi_lane_rate, 2),
+        "multi_lane_ate_m": round(multi_lane_ate, 4)
+            if multi_lane_ate is not None else None,
         "points_per_scan": int(raw_scans[0]["mask"].sum()),
         "device": str(jax.devices()[0]),
     }))

@@ -257,6 +257,55 @@ class BAConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LoopClosureConfig:
+    """Revisit-constraint pose-graph back-end (floam_tpu.posegraph) — the
+    in-framework equivalent of the lio_sam back-end the reference's
+    deployment launch chains after the front-end
+    (launch/structor_slam.launch:50-52; the g2o export at utils.cpp:3-78
+    is the handoff). The windowed-BA ablation (docs/ba_ablation.jsonl)
+    showed window refinement against the same local map cannot materially
+    help; REVISIT constraints are what closes accumulated drift.
+
+    Flow: every ``keyframe_stride``-th keyframe is stored (host-side
+    feature clouds + pose); when a stored keyframe comes within
+    ``detect_radius`` of a >= ``min_index_gap``-older stored keyframe, the
+    pair is re-registered (posegraph.make_pair_registrar — async device
+    program off the frame loop's critical path); accepted constraints
+    (factor count + cost gates) enter a pose graph over the stored
+    keyframe chain solved at end of run; the correction propagates to the
+    full trajectory and the exported posegraph carries the loop edges."""
+
+    enabled: bool = False
+    #: store every Nth keyframe as a pose-graph node / loop candidate
+    keyframe_stride: int = 4
+    #: revisit gate: position proximity (m) + frame index gap
+    detect_radius: float = 5.0
+    min_index_gap: int = 60
+    #: min frames between registration attempts (bounds device work when
+    #: driving through an already-mapped region)
+    attempt_every: int = 16
+    #: cap on total registration attempts per run
+    max_attempts: int = 128
+    #: association+GN rounds per pair registration (fresh gather each
+    #: round, so the pose can pull in across several association radii)
+    register_rounds: int = 8
+    #: acceptance gates on the registration result: total factor count and
+    #: MEAN weighted squared residual (cost / factors) of the final round
+    min_factors: int = 300
+    max_cost: float = 0.02
+    #: pose-graph information weights (residual order rot, trans) — proper
+    #: information, unlike the reference's inverted g2o bytes (see
+    #: io/export.save_posegraph_graph)
+    rot_weight: float = 1000.0
+    trans_weight: float = 100.0
+    #: extra weight multiplier on loop edges vs odometry chain edges
+    loop_weight_scale: float = 1.0
+    #: GN iterations / damping of the final graph solve
+    iters: int = 8
+    damping: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
 class ExportConfig:
     """Trajectory/map export (reference: src/utils.cpp, odomEstimationNode.cpp:373-387)."""
 
@@ -308,6 +357,8 @@ class FloamConfig:
     mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
     deskew: DeskewConfig = dataclasses.field(default_factory=DeskewConfig)
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    loop: LoopClosureConfig = dataclasses.field(
+        default_factory=LoopClosureConfig)
     export: ExportConfig = dataclasses.field(default_factory=ExportConfig)
 
     def __post_init__(self):

@@ -43,14 +43,20 @@ def _pose_matrix(q_wxyz: np.ndarray, t: np.ndarray) -> np.ndarray:
     return m
 
 
-def save_posegraph(directory, quats, trans, stamps,
-                   clouds: Optional[Sequence[np.ndarray]] = None) -> None:
-    """g2o text format exactly as the reference writes it: VERTEX_SE3:QUAT
-    lines (x y z qx qy qz qw), FIX 0, chained EDGE_SE3:QUAT with the upper
-    triangle of a fixed diagonal information matrix
-    (variances 0.01 trans / 0.001 rot; utils.cpp:46-55)."""
-    directory = Path(directory)
-    directory.mkdir(parents=True, exist_ok=True)
+def save_posegraph_graph(path, quats, trans, extra_edges=None,
+                         info_diag=None) -> None:
+    """Write ONLY the graph.g2o file (VERTEX_SE3:QUAT / FIX 0 / chained
+    EDGE_SE3:QUAT) to ``path``. ``extra_edges``: optional non-consecutive
+    constraints — e.g. the loop closures posegraph.py measures — as
+    (i, j, dq_wxyz (4,), dt (3,)) with Z = T_i^-1 * T_j, written as
+    additional EDGE_SE3:QUAT lines (the form lio_sam's back-end adds;
+    rviz/slam.rviz displays them as loop constraints).
+
+    ``info_diag``: 6 information-diagonal values in file order (x y z qx
+    qy qz). Default reproduces the reference byte-for-byte — which writes
+    its VARIANCES (0.01 trans / 0.001 rot) into the information slot
+    (utils.cpp:46-55), i.e. semantically inverted; pass e.g.
+    [100]*3 + [1000]*3 for a properly-weighted graph."""
     mats = [_pose_matrix(q, t) for q, t in zip(quats, trans)]
     lines = []
     for i, (q, t) in enumerate(zip(quats, trans)):
@@ -63,7 +69,8 @@ def save_posegraph(directory, quats, trans, stamps,
         import sys
 
         print("cannot save a pose graph with only 1 vertex", file=sys.stderr)
-    info = np.diag([0.01, 0.01, 0.01, 0.001, 0.001, 0.001])
+    info = np.diag(info_diag if info_diag is not None
+                   else [0.01, 0.01, 0.01, 0.001, 0.001, 0.001])
     info_upper = " ".join(
         str(info[i, j]) for i in range(6) for j in range(i, 6))
     for i in range(len(mats) - 1):
@@ -73,9 +80,65 @@ def save_posegraph(directory, quats, trans, stamps,
         lines.append(
             f"EDGE_SE3:QUAT {i} {i + 1} {tt[0]} {tt[1]} {tt[2]} "
             f"{qq[0]} {qq[1]} {qq[2]} {qq[3]} {info_upper}")
-    (directory / "graph.g2o").write_text("\n".join(lines) + "\n")
+    for e in (extra_edges or []):
+        i, j, dq, dt = e
+        dq = np.asarray(dq, np.float64)
+        dt = np.asarray(dt, np.float64)
+        lines.append(
+            f"EDGE_SE3:QUAT {int(i)} {int(j)} {dt[0]} {dt[1]} {dt[2]} "
+            f"{dq[1]} {dq[2]} {dq[3]} {dq[0]} {info_upper}")
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def load_g2o(path):
+    """Parse a VERTEX_SE3:QUAT / EDGE_SE3:QUAT text graph (the exporter's
+    own format; file quat order x y z w -> returned wxyz). Returns
+    (quats (K, 4) wxyz, trans (K, 3),
+     edges [(i, j, dq_wxyz (4,), dt (3,), weight (6,))]) with weight the
+    information diagonal re-ordered to the optimizer's residual order
+    (rot, trans)."""
+    verts = {}
+    edges = []
+    for line in Path(path).read_text().splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "VERTEX_SE3:QUAT":
+            idx = int(parts[1])
+            x, y, z, qx, qy, qz, qw = (float(v) for v in parts[2:9])
+            verts[idx] = (np.array([qw, qx, qy, qz]), np.array([x, y, z]))
+        elif parts[0] == "EDGE_SE3:QUAT":
+            i, j = int(parts[1]), int(parts[2])
+            x, y, z, qx, qy, qz, qw = (float(v) for v in parts[3:10])
+            info = [float(v) for v in parts[10:31]]
+            # upper-triangle row-major 6x6; diagonal entries at positions
+            # 0, 6, 11, 15, 18, 20 in (x y z qx qy qz) order
+            diag_pos = (0, 6, 11, 15, 18, 20)
+            diag = [info[p] if len(info) == 21 else 1.0 for p in diag_pos]
+            w = np.array(diag[3:] + diag[:3])  # -> (rot, trans)
+            edges.append((i, j, np.array([qw, qx, qy, qz]),
+                          np.array([x, y, z]), w))
+    K = max(verts) + 1 if verts else 0
+    quats = np.stack([verts[i][0] for i in range(K)])
+    trans = np.stack([verts[i][1] for i in range(K)])
+    return quats, trans, edges
+
+
+def save_posegraph(directory, quats, trans, stamps,
+                   clouds: Optional[Sequence[np.ndarray]] = None,
+                   extra_edges=None) -> None:
+    """g2o text format exactly as the reference writes it: VERTEX_SE3:QUAT
+    lines (x y z qx qy qz qw), FIX 0, chained EDGE_SE3:QUAT with the upper
+    triangle of a fixed diagonal information matrix
+    (variances 0.01 trans / 0.001 rot; utils.cpp:46-55), plus any measured
+    loop-closure edges (``extra_edges``; see save_posegraph_graph)."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    save_posegraph_graph(directory / "graph.g2o", quats, trans,
+                         extra_edges=extra_edges)
 
     if clouds is not None:
+        mats = [_pose_matrix(q, t) for q, t in zip(quats, trans)]
         for i, cloud in enumerate(clouds):
             kf_dir = directory / f"{i:06d}"
             kf_dir.mkdir(parents=True, exist_ok=True)
@@ -293,4 +356,6 @@ def save_frame_info(path, frames) -> None:
                 "is_keyframe": bool(fr.is_keyframe),
                 "num_edge_factors": fr.num_edge_factors,
                 "num_surf_factors": fr.num_surf_factors,
+                "dropped_points": list(getattr(fr, "dropped_points",
+                                               (0, 0, 0))),
             }) + "\n")

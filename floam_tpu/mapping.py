@@ -80,9 +80,16 @@ class GlobalMap:
         #: filter is idempotent), so skipping them is exact and avoids
         #: re-downsampling the whole pose neighborhood every keyframe
         self._dirty: set = set()
+        #: guards self.blocks/_dirty: the product runner feeds the map from
+        #: a background worker thread while the main thread reads it for
+        #: viz snapshots / checkpoints / export
+        import threading
+
+        self._lock = threading.Lock()
 
     # -- update (one (cloud, pose) pair, reference :148-186) -------------
-    def update(self, xyz, pose: Pose, intensity=None, mask=None) -> None:
+    def update(self, xyz, pose: Pose, intensity=None, mask=None,
+               revoxelize: bool = True) -> None:
         xyz = jnp.asarray(xyz)
         n = xyz.shape[0]
         if mask is None:
@@ -94,8 +101,42 @@ class GlobalMap:
         # one batched device->host fetch (per-array reads pay a round trip
         # each on tunneled devices)
         world, inten, block, m = jax.device_get((world, inten, block, mask))
-        world, inten, block = world[m], inten[m], block[m]
+        self._ingest(world[m], inten[m], block[m])
+        if revoxelize:
+            self.revoxelize(np.asarray(pose.t))
 
+    def update_host(self, xyz: np.ndarray, pose_q: np.ndarray,
+                    pose_t: np.ndarray, mask: Optional[np.ndarray] = None,
+                    revoxelize: bool = True) -> None:
+        """Pure-host ingest of one (cloud, pose) pair: numpy transform +
+        height intensity + block binning — zero device traffic. This is
+        the streaming runner's feed path: the wire-format scan bytes
+        (~0.5 MB quantized) are decoded on the host, so the mapping feed
+        never pays the ~3.5 MB/keyframe decoded-plane device->host fetch
+        (docs/PERFORMANCE.md tunnel numbers). Same math as
+        :func:`_bin_points` (reference :157-172)."""
+        xyz = np.asarray(xyz, np.float64).reshape(-1, 3)
+        if mask is not None:
+            xyz = xyz[np.asarray(mask).reshape(-1)]
+        q = np.asarray(pose_q, np.float64)
+        w, x, y, z = q
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+             2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+             2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x),
+             1 - 2 * (x * x + y * y)]])
+        world = (xyz @ R.T + np.asarray(pose_t, np.float64)).astype(
+            np.float32)
+        inten = np.minimum(1.0, np.maximum(xyz[:, 2] + 2.0, 0.0)
+                           / 5.0).astype(np.float32)
+        block = np.floor(world / self.cfg.cell_size + 0.5).astype(np.int32)
+        self._ingest(world, inten, block)
+        if revoxelize:
+            self.revoxelize(np.asarray(pose_t))
+
+    def _ingest(self, world, inten, block) -> None:
         # host scatter into blocks: pack (bx,by,bz) into one int64 so the
         # grouping is a 1-D sort (np.unique over tuple rows is ~10x slower),
         # then slice contiguous runs — one concat per TOUCHED block only
@@ -111,24 +152,24 @@ class GlobalMap:
         starts = np.concatenate([[0], np.nonzero(np.diff(packed))[0] + 1,
                                  [len(packed)]])
         MASK = OFF * 2 - 1
-        for i in range(len(starts) - 1):
-            s, e = starts[i], starts[i + 1]
-            p = packed[s]
-            key = (int((p >> 42) & MASK) - OFF, int((p >> 21) & MASK) - OFF,
-                   int(p & MASK) - OFF)
-            if self.shard_count > 1 and \
-                    block_owner(key, self.shard_count) != self.shard_rank:
-                continue
-            if key in self.blocks:
-                self.blocks[key] = np.concatenate([self.blocks[key],
-                                                   pts[s:e]])
-            else:
-                self.blocks[key] = pts[s:e]
-            self._dirty.add(key)
+        with self._lock:
+            for i in range(len(starts) - 1):
+                s, e = starts[i], starts[i + 1]
+                p = packed[s]
+                key = (int((p >> 42) & MASK) - OFF,
+                       int((p >> 21) & MASK) - OFF,
+                       int(p & MASK) - OFF)
+                if self.shard_count > 1 and \
+                        block_owner(key, self.shard_count) != self.shard_rank:
+                    continue
+                if key in self.blocks:
+                    self.blocks[key] = np.concatenate([self.blocks[key],
+                                                       pts[s:e]])
+                else:
+                    self.blocks[key] = pts[s:e]
+                self._dirty.add(key)
 
-        self._revoxelize_neighborhood(pose)
-
-    def _revoxelize_neighborhood(self, pose: Pose) -> None:
+    def revoxelize(self, pose_t: np.ndarray) -> None:
         """Re-downsample the (2r+1)^3 blocks around the pose (:175-184),
         plus any block anywhere whose raw size outgrew ``block_capacity``
         (bounds far-from-pose growth between visits; the reference only
@@ -138,21 +179,27 @@ class GlobalMap:
         raw length, so no point is dropped before downsampling — matching
         the reference's per-cell re-voxelization (laserMappingClass.cpp:
         175-184). Blocks are grouped by padded capacity so the vmapped
-        device program compiles only for log-many shapes.
+        device program compiles only for log-many shapes. The streaming
+        feed worker calls this once per ingest BATCH (update(...,
+        revoxelize=False) + one revoxelize) — exact, because the filter is
+        idempotent and dirty blocks are tracked until filtered.
         """
         r = self.cfg.neighbor_range
-        c = np.floor(np.asarray(pose.t) / self.cfg.cell_size + 0.5).astype(int)
+        c = np.floor(np.asarray(pose_t) / self.cfg.cell_size
+                     + 0.5).astype(int)
         todo = set()
-        for dx in range(-r, r + 1):
-            for dy in range(-r, r + 1):
-                for dz in range(-r, r + 1):
-                    key = (c[0] + dx, c[1] + dy, c[2] + dz)
-                    # only blocks with appends since their last downsample:
-                    # the filter is idempotent, so clean blocks are no-ops
-                    if key in self._dirty and len(self.blocks[key]) > 0:
-                        todo.add(key)
-        cap0 = self.cfg.block_capacity
-        todo.update(k for k in self._dirty if len(self.blocks[k]) > cap0)
+        with self._lock:
+            for dx in range(-r, r + 1):
+                for dy in range(-r, r + 1):
+                    for dz in range(-r, r + 1):
+                        key = (c[0] + dx, c[1] + dy, c[2] + dz)
+                        # only blocks with appends since their last
+                        # downsample: the filter is idempotent, so clean
+                        # blocks are no-ops
+                        if key in self._dirty and len(self.blocks[key]) > 0:
+                            todo.add(key)
+            cap0 = self.cfg.block_capacity
+            todo.update(k for k in self._dirty if len(self.blocks[k]) > cap0)
         if not todo:
             return
         groups: Dict[int, list] = {}
@@ -168,8 +215,10 @@ class GlobalMap:
         stack = np.zeros((B, cap, 3), np.float32)
         inten = np.zeros((B, cap), np.float32)
         mask = np.zeros((B, cap), bool)
+        with self._lock:
+            snap = {key: self.blocks[key] for key in keys}
         for i, key in enumerate(keys):
-            pts = self.blocks[key]
+            pts = snap[key]
             stack[i, :len(pts)] = pts[:, :3]
             inten[i, :len(pts)] = pts[:, 3]
             mask[i, :len(pts)] = True
@@ -181,34 +230,41 @@ class GlobalMap:
         out_xyz = np.asarray(out_xyz)
         out_mask = np.asarray(out_mask)
         out_extra = np.asarray(out_extra)
-        for i, key in enumerate(keys):
-            m = out_mask[i]
-            self.blocks[key] = np.concatenate(
-                [out_xyz[i][m], out_extra[i][m]], axis=1).astype(np.float32)
+        with self._lock:
+            for i, key in enumerate(keys):
+                m = out_mask[i]
+                self.blocks[key] = np.concatenate(
+                    [out_xyz[i][m], out_extra[i][m]],
+                    axis=1).astype(np.float32)
+                self._dirty.discard(key)
 
     # -- export (getMap, :188-200) ---------------------------------------
     def get_map(self) -> np.ndarray:
         """(N, 4) concatenation of all blocks [x, y, z, intensity]."""
-        if not self.blocks:
-            return np.zeros((0, 4), np.float32)
-        return np.concatenate(list(self.blocks.values()))
+        with self._lock:
+            if not self.blocks:
+                return np.zeros((0, 4), np.float32)
+            return np.concatenate(list(self.blocks.values()))
 
     @property
     def num_blocks(self) -> int:
-        return len(self.blocks)
+        with self._lock:
+            return len(self.blocks)
 
     @property
     def num_points(self) -> int:
-        return sum(len(v) for v in self.blocks.values())
+        with self._lock:
+            return sum(len(v) for v in self.blocks.values())
 
     # -- checkpoint/resume (the reference has no mid-run persistence) -----
     def to_arrays(self) -> Dict[str, np.ndarray]:
         """Serialize the block store to flat arrays (npz-friendly)."""
-        if not self.blocks:
-            return {"keys": np.zeros((0, 3), np.int64),
-                    "offsets": np.zeros((1,), np.int64),
-                    "points": np.zeros((0, 4), np.float32)}
-        items = sorted(self.blocks.items())
+        with self._lock:
+            if not self.blocks:
+                return {"keys": np.zeros((0, 3), np.int64),
+                        "offsets": np.zeros((1,), np.int64),
+                        "points": np.zeros((0, 4), np.float32)}
+            items = sorted(self.blocks.items())
         keys = np.asarray([k for k, _ in items], np.int64)
         lens = np.asarray([len(v) for _, v in items], np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)])
@@ -219,8 +275,10 @@ class GlobalMap:
                     points: np.ndarray) -> None:
         """Restore the block store saved by :meth:`to_arrays` (replaces any
         current contents; the round trip is bit-exact)."""
-        self.blocks = {
-            tuple(int(c) for c in keys[i]):
-                np.asarray(points[offsets[i]:offsets[i + 1]], np.float32)
-            for i in range(len(keys))
-        }
+        with self._lock:
+            self.blocks = {
+                tuple(int(c) for c in keys[i]):
+                    np.asarray(points[offsets[i]:offsets[i + 1]], np.float32)
+                for i in range(len(keys))
+            }
+            self._dirty = set()

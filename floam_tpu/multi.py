@@ -35,12 +35,29 @@ from .types import RingScan
 from .utils.profiling import RateMeter
 
 
-def build_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
-    """A 1-D mesh over the available devices (TPU chips when present)."""
+def build_mesh(n_devices: Optional[int] = None, axis: str = "dp",
+               allow_cpu_fallback: bool = False) -> Mesh:
+    """A 1-D mesh over the available devices (TPU chips when present).
+
+    Requesting more devices than exist RAISES rather than silently
+    degrading: a production launch asking for 8 chips on a 4-chip host
+    must fail loudly, not run everything on one CPU device.
+    ``allow_cpu_fallback`` (tests / virtual-device dryruns only) instead
+    substitutes the CPU device list when the accelerators are too few."""
     devices = jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:
+            if not allow_cpu_fallback:
+                raise ValueError(
+                    f"build_mesh: {n_devices} devices requested but only "
+                    f"{len(devices)} available ({devices[0].platform}); "
+                    "pass allow_cpu_fallback=True only for test meshes")
             devices = jax.devices("cpu")
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"build_mesh: CPU fallback has {len(devices)} devices "
+                    f"< {n_devices}; set "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count")
         devices = devices[:n_devices]
     return Mesh(np.array(devices).reshape(len(devices)), (axis,))
 
@@ -51,24 +68,68 @@ def make_sharded_full_step(mesh: Mesh, cfg: FloamConfig, lanes: int,
     ``axis``: per lane the SAME fused per-scan program as the single-chip
     product (features -> association -> IRLS GN -> keyframe-gated map
     merge) under vmap; the custom-vmap sparse rules (ops/sparse.py) keep
-    every gather in the fast shape class."""
+    every gather in the fast shape class.
+
+    Full deskew support: cfg.odom.deskew (two-phase constant-velocity
+    registration, src/odomEstimationClass.cpp:34-50) composes under vmap
+    directly — full_step already is two jittable odom_step_impl calls.
+    cfg.deskew.enabled (rotational IMU compensation + orientation
+    alignment, src/dataHandler.cpp:93-122 + laserProcessingNode.cpp:
+    108-121) runs IN-PROGRAM from per-lane padded IMU windows, so the
+    structor_vlp16 preset runs on the multi-chip product path. A lane
+    whose window is empty (imu_count < 2) falls through to the
+    uncompensated cloud, matching the single-lane Pipeline behavior.
+
+    Signature of the returned step (IMU mode):
+      step(states, scans, alive, stamps, iw_stamps, iw_quats, iw_count)
+    else: step(states, scans, alive). ``alive`` (B,) bool freezes
+    exhausted lanes: their state passes through unchanged (the vmapped
+    program still computes — dense lockstep — but a dead lane's pose and
+    map stop moving, so its trajectory tail and keyframe gate stay
+    clean)."""
     if lanes % mesh.shape[axis]:
         raise ValueError(f"lanes={lanes} must divide over "
                          f"{mesh.shape[axis]} '{axis}' devices")
-    if cfg.odom.deskew:
-        raise NotImplementedError(
-            "two-phase deskew is single-sequence only for now; disable "
-            "OdomConfig.deskew for batched multi-chip runs")
     cfg = odometry.pin_assoc_backend(cfg, mesh.devices.flat[0].platform)
     spec = P(axis)
+    with_imu = cfg.deskew.enabled
+    from .ops import deskew as deskew_ops
+    from .ops import se3 as _se3
 
-    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec),
-                       out_specs=(spec, spec) + ((spec,) if return_clouds
-                                                 else ()), check_vma=False)
-    def sharded(states, scans):
-        out = jax.vmap(functools.partial(
-            full_step, cfg=cfg, return_clouds=return_clouds))(states, scans)
-        return out
+    r_, p_, y_ = cfg.deskew.extrinsic_rpy
+    ext_q = np.asarray(_se3.euler_to_quat(r_, p_, y_), np.float32)
+    cap = cfg.lidar.points_per_ring
+
+    def unpack(s):
+        if isinstance(s, RingScan):
+            return s
+        if isinstance(s, tuple):
+            return RingScan.from_packed_q16(*s, capacity=cap)
+        return RingScan.from_packed(s)
+
+    def lane_step(state, scan, alive, stamp=None, iw_s=None, iw_q=None,
+                  iw_n=None):
+        if with_imu:
+            rs = unpack(scan)
+            n_safe = jnp.maximum(iw_n, 1)
+            out, q_init = deskew_ops.rotational_deskew(
+                rs, stamp.astype(rs.xyz.dtype), iw_s, iw_q, n_safe,
+                jnp.asarray(ext_q, rs.xyz.dtype), slerp=cfg.deskew.slerp)
+            out = deskew_ops.align_to_orientation(out, q_init)
+            use = iw_n >= 2
+            scan = rs._replace(xyz=jnp.where(use, out.xyz, rs.xyz))
+        res = full_step(state, scan, cfg, return_clouds=return_clouds)
+        state2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(alive, a, b), res[0], state)
+        return (state2,) + tuple(res[1:])
+
+    n_in = 7 if with_imu else 3
+    out_specs = (spec, spec) + ((spec,) if return_clouds else ())
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec,) * n_in,
+                       out_specs=out_specs, check_vma=False)
+    def sharded(*args):
+        return jax.vmap(lane_step)(*args)
 
     return jax.jit(sharded, donate_argnums=(0,)), cfg
 
@@ -144,9 +205,22 @@ class MultiSequenceRunner:
         self.states = None
         self._frame = 0
 
-    def _upload(self, scans: Sequence[RingScan]) -> RingScan:
-        """Stack B per-lane host scans into one sharded device RingScan
-        (one device_put per field; each device receives only its lanes)."""
+    def _upload(self, scans: Sequence):
+        """Stack B per-lane host scans into one sharded device batch (one
+        device_put per field; each device receives only its lanes).
+
+        Accepts RingScans OR q16 wire tuples (RingScan.pack_host_q16) —
+        the quantized wire moves ~7x fewer bytes per lane over the
+        host->device link (the product loop's bottleneck on slow links;
+        the single-chip runner's chunked_device_stream finding) and
+        decodes in-program per lane."""
+        first = scans[0]
+        if isinstance(first, tuple) and not isinstance(first, RingScan):
+            return tuple(
+                jax.device_put(np.stack([np.asarray(s[k]) for s in scans]),
+                               self._shard)
+                for k in range(len(first)))
+
         def stack(field):
             arrs = [np.asarray(getattr(s, field)) for s in scans]
             return jax.device_put(np.stack(arrs), self._shard)
@@ -154,56 +228,115 @@ class MultiSequenceRunner:
         return RingScan(xyz=stack("xyz"), intensity=stack("intensity"),
                         time=stack("time"), mask=stack("mask"))
 
-    def run(self, sources: Sequence[Iterable[Tuple[float, RingScan]]],
+    def run(self, sources: Sequence[Iterable],
             gt: Optional[Sequence] = None,
             progress_every: int = 0) -> List[RunResult]:
-        """``sources``: B per-lane (stamp, scan) iterables (host or device
-        scans). Lanes run in lockstep until the longest stream ends."""
+        """``sources``: B per-lane iterables yielding (stamp, scan) or
+        (stamp, scan, imu_samples) with imu_samples a list of
+        (stamp, quat_wxyz) orientation messages covering the scan (the
+        rotational-deskew feed; required shape of the structor preset).
+        ``scan`` may be a RingScan or a q16 wire tuple. Lanes run in
+        lockstep until the longest stream ends; a lane whose stream ends
+        early is FROZEN (alive mask) and its trajectory truncated to its
+        real frame count at export."""
         if len(sources) != self.B:
             raise ValueError(f"need {self.B} sources, got {len(sources)}")
         bc = self.cfg.ba
+        with_imu = self.cfg.deskew.enabled
+        if with_imu:
+            from .ops.deskew import ImuStream
+
+            self._imu = [ImuStream(self.cfg.deskew.imu_window)
+                         for _ in range(self.B)]
+        self._n_real = [None] * self.B
 
         def lockstep():
-            # a lane whose stream ends early keeps re-feeding its last
-            # scan (no motion -> its keyframe gate stops merging); the
-            # per-lane trajectory is truncated to real frames at export
             its = [iter(s) for s in sources]
             last = [None] * self.B
+            frame_no = 0
             while True:
-                alive = 0
+                alive = np.zeros(self.B, bool)
                 for i, it in enumerate(its):
                     nxt = next(it, None)
                     if nxt is not None:
                         last[i] = nxt
-                        alive += 1
-                if not alive:
+                        alive[i] = True
+                    elif self._n_real[i] is None:
+                        self._n_real[i] = frame_no
+                if not alive.any():
                     return
-                yield list(last)
+                yield list(last), alive.copy()
+                frame_no += 1
 
         src = _producer_iter(lockstep(), depth=2)
         init_fn = None
-        for items in src:
-            stamps = np.array([s for s, _ in items])
-            scans = [sc for _, sc in items]
+        period = self.cfg.lidar.scan_period
+        for items, alive_np in src:
+            stamps = np.empty(self.B)
+            scans = []
+            for i, item in enumerate(items):
+                if len(item) == 3:
+                    stamps[i], scan, imu_batch = item
+                    if alive_np[i] and with_imu:
+                        for ts_, qv in imu_batch:
+                            self._imu[i].add(float(ts_), qv)
+                else:
+                    stamps[i], scan = item
+                scans.append(scan)
             with self.meter.frame():
                 batched = self._upload(scans)
+                alive_dev = jax.device_put(alive_np, self._shard)
+                if with_imu:
+                    W = self.cfg.deskew.imu_window
+                    iw_s = np.full((self.B, W), np.inf)
+                    iw_q = np.tile(np.array([1.0, 0, 0, 0]), (self.B, W, 1))
+                    iw_n = np.zeros((self.B,), np.int32)
+                    for i in range(self.B):
+                        t0 = stamps[i] - 0.5 * period
+                        t1 = stamps[i] + 1.5 * period
+                        if self._imu[i].contains(t0) and \
+                                self._imu[i].contains(t1):
+                            s_, q_, n_ = self._imu[i].window(t0, t1)
+                            iw_s[i], iw_q[i], iw_n[i] = s_, q_, n_
+                    imu_args = (
+                        jax.device_put(stamps.astype(np.float32),
+                                       self._shard),
+                        jax.device_put(iw_s.astype(np.float32),
+                                       self._shard),
+                        jax.device_put(iw_q.astype(np.float32),
+                                       self._shard),
+                        jax.device_put(iw_n, self._shard))
+                else:
+                    imu_args = ()
                 if self.states is None:
-                    # lane-0-style init on every lane (batched init_map)
+                    # lane-0-style init on every lane (batched init_map;
+                    # frame 0 defines each lane's origin, so IMU deskew of
+                    # the seed scan is skipped — single-lane behavior when
+                    # the buffer does not yet cover the sweep)
                     from .parallel.batch import batched_init_state
 
                     if init_fn is None:
                         cfgp = self._cfg_pinned
+                        cap = cfgp.lidar.points_per_ring
+
+                        def unpack(sc):
+                            if isinstance(sc, RingScan):
+                                return sc
+                            if isinstance(sc, tuple):
+                                return RingScan.from_packed_q16(
+                                    *sc, capacity=cap)
+                            return RingScan.from_packed(sc)
 
                         @functools.partial(
                             jax.shard_map, mesh=self.mesh,
                             in_specs=(P("dp"), P("dp")),
                             out_specs=P("dp"), check_vma=False)
                         def init_all(states, scans_b):
-                            e, s = jax.vmap(lambda sc: _features_from_scan(
-                                sc, cfgp))(scans_b)
-                            return jax.vmap(
-                                lambda st, a, b: odometry.init_map_impl(
-                                    st, a, b, cfgp))(states, e, s)
+                            def one(st, sc):
+                                e, s = _features_from_scan(unpack(sc), cfgp)
+                                return odometry.init_map_impl(st, e, s, cfgp)
+
+                            return jax.vmap(one)(states, scans_b)
 
                         init_fn = jax.jit(init_all)
                     states0 = batched_init_state(self.cfg, self.B,
@@ -217,7 +350,8 @@ class MultiSequenceRunner:
                     t = jnp.zeros((self.B, 3), self.dtype)
                     kf = jnp.ones((self.B,), bool)
                 else:
-                    out = self._step(self.states, batched)
+                    out = self._step(self.states, batched, alive_dev,
+                                     *imu_args)
                     if self._ba_fn is not None:
                         self.states, diag, clouds = out
                         self._cloud_window.append(clouds)
@@ -274,12 +408,18 @@ class MultiSequenceRunner:
         for (idxs, _, _), (q2, t2) in zip(self._ba_results, ba):
             for j, i in enumerate(idxs):
                 refined[i] = (q2[:, j], t2[:, j])  # (B, 4), (B, 3)
+        n_real = getattr(self, "_n_real", None) or [None] * self.B
         results = []
         for b in range(self.B):
-            stamps = np.array([s[b] for s in self._stamps[:n]])
+            # truncate to the lane's REAL frame count: an early-ended
+            # lane's frozen tail poses must not enter the exported
+            # trajectory or the ATE (repeated tail poses corrupt it)
+            nb = n_real[b] if n_real[b] is not None else n
+            nb = min(nb, n)
+            stamps = np.array([s[b] for s in self._stamps[:nb]])
             q_l, t_l = qs[:, b], ts[:, b]
-            res = RunResult(stamps=stamps, quats=q_l.copy(),
-                            trans=t_l.copy(),
+            res = RunResult(stamps=stamps, quats=q_l[:nb].copy(),
+                            trans=t_l[:nb].copy(),
                             scans_per_sec=self.meter.summary().get(
                                 "scans_per_sec", 0.0))
             if refined:
@@ -296,10 +436,11 @@ class MultiSequenceRunner:
                 cq, ct = se3.pose_compose(
                     jnp.asarray(dq[slot]), jnp.asarray(dt[slot]),
                     jnp.asarray(q_l), jnp.asarray(t_l))
-                res.quats, res.trans = np.asarray(cq), np.asarray(ct)
+                res.quats = np.asarray(cq)[:nb]
+                res.trans = np.asarray(ct)[:nb]
             if gt is not None and gt[b] is not None:
                 gt_q, gt_t = gt[b]
-                m = min(len(gt_t), n)
+                m = min(len(gt_t), nb)
                 res.ate, _ = metrics.ate(res.trans[:m], gt_t[:m])
                 if refined:
                     res.ate_odom, _ = metrics.ate(t_l[:m], gt_t[:m])

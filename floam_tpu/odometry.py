@@ -52,6 +52,16 @@ class OdomDiagnostics(NamedTuple):
     #: host dispatches (the previous per-frame .copy() calls each paid
     #: tunnel dispatch latency)
     pose_row: jnp.ndarray = None
+    #: silent-capacity drop counters (() int32, 0 = nothing dropped):
+    #: valid points shed at the scan feature-compaction budgets
+    #: (scan_edge_capacity / scan_surf_capacity) and at the map hash-table
+    #: insert (bucket-alias overflow of an undersized table). Also packed
+    #: into pose_row[8:11] so the host loop reads them with the same
+    #: batched transfer as the pose — a mis-sized preset surfaces as a
+    #: counter in frame_info/summary, not as silent ATE loss.
+    scan_edge_dropped: jnp.ndarray = None
+    scan_surf_dropped: jnp.ndarray = None
+    map_insert_dropped: jnp.ndarray = None
 
 
 def _edge_leaf(oc: OdomConfig) -> float:
@@ -291,7 +301,8 @@ def _associate_and_solve(pose: Pose, map_state: MapState,
 def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
                    cfg: FloamConfig, update_map: bool = True,
                    predict: bool = True, shard_axis=None, shard_n: int = 1,
-                   query_axis=None, query_n: int = 1
+                   query_axis=None, query_n: int = 1,
+                   scan_dropped=None
                    ) -> Tuple[OdomState, OdomDiagnostics]:
     """One scan-to-map update (updatePointsToMap VANILLA path,
     src/odomEstimationClass.cpp:57-124).
@@ -418,41 +429,56 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
         # addPointsToMap (:253-294): transform downsampled features into
         # world, insert, evict outside the crop box. Voxel centroids make
         # the reference's full-map re-voxelize unnecessary.
-        def do_update(ms: MapState) -> MapState:
+        def do_update(ms: MapState):
             e_world = se3.quat_rotate(new_pose.q[None, :], e_xyz) + new_pose.t
             s_world = se3.quat_rotate(new_pose.q[None, :], s_xyz) + new_pose.t
             if shard_axis is not None:
                 rank = jax.lax.axis_index(shard_axis)
                 e_base = rank * (oc.map_edge_table // shard_n)
                 s_base = rank * (oc.map_surf_table // shard_n)
-                em = voxelmap.insert(ms.edge, e_world, e_mask,
-                                     oc.voxel_count_cap, bucket_base=e_base,
-                                     global_buckets=oc.map_edge_table,
-                                     probe_rounds=oc.map_insert_probe_rounds)
-                sm = voxelmap.insert(ms.surf, s_world, s_mask,
-                                     oc.voxel_count_cap, bucket_base=s_base,
-                                     global_buckets=oc.map_surf_table,
-                                     probe_rounds=oc.map_insert_probe_rounds)
+                em, e_drop = voxelmap.insert(
+                    ms.edge, e_world, e_mask, oc.voxel_count_cap,
+                    bucket_base=e_base, global_buckets=oc.map_edge_table,
+                    probe_rounds=oc.map_insert_probe_rounds,
+                    return_dropped=True)
+                sm, s_drop = voxelmap.insert(
+                    ms.surf, s_world, s_mask, oc.voxel_count_cap,
+                    bucket_base=s_base, global_buckets=oc.map_surf_table,
+                    probe_rounds=oc.map_insert_probe_rounds,
+                    return_dropped=True)
             else:
-                em = voxelmap.insert(ms.edge, e_world, e_mask,
-                                     oc.voxel_count_cap,
-                                     probe_rounds=oc.map_insert_probe_rounds)
-                sm = voxelmap.insert(ms.surf, s_world, s_mask,
-                                     oc.voxel_count_cap,
-                                     probe_rounds=oc.map_insert_probe_rounds)
+                em, e_drop = voxelmap.insert(
+                    ms.edge, e_world, e_mask, oc.voxel_count_cap,
+                    probe_rounds=oc.map_insert_probe_rounds,
+                    return_dropped=True)
+                sm, s_drop = voxelmap.insert(
+                    ms.surf, s_world, s_mask, oc.voxel_count_cap,
+                    probe_rounds=oc.map_insert_probe_rounds,
+                    return_dropped=True)
             em = voxelmap.crop(em, new_pose.t, oc.crop_radius)
             sm = voxelmap.crop(sm, new_pose.t, oc.crop_radius)
             return MapState(edge=em, surf=sm,
                             edge_view=voxelmap.pack_query_view(em),
-                            surf_view=voxelmap.pack_query_view(sm))
+                            surf_view=voxelmap.pack_query_view(sm)), \
+                jnp.asarray(e_drop + s_drop, jnp.int32)
 
-        new_map = jax.lax.cond(is_kf, do_update, lambda ms: ms, state.map)
+        new_map, map_dropped = jax.lax.cond(
+            is_kf, do_update,
+            lambda ms: (ms, jnp.asarray(0, jnp.int32)), state.map)
+        if shard_axis is not None:
+            # off-shard points are not "dropped" (their owning device
+            # inserts them — the insert masks them out before counting);
+            # psum so every device reports the GLOBAL overflow. Outside
+            # the cond: collectives inside a conditional branch are
+            # hazardous under SPMD partitioning.
+            map_dropped = jax.lax.psum(map_dropped, shard_axis)
         new_kf_pose = jax.tree_util.tree_map(
             lambda a, b: jnp.where(is_kf, a, b), new_pose, state.last_kf_pose)
     else:
         new_map = state.map
         new_kf_pose = state.last_kf_pose
         is_kf = jnp.asarray(False)
+        map_dropped = jnp.asarray(0, jnp.int32)
 
     new_state = OdomState(
         pose=new_pose,
@@ -462,6 +488,13 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
         last_kf_pose=new_kf_pose,
         frame_idx=state.frame_idx + 1,
     )
+    if scan_dropped is None:
+        scan_e_drop = jnp.asarray(0, jnp.int32)
+        scan_s_drop = jnp.asarray(0, jnp.int32)
+    else:
+        scan_e_drop = jnp.asarray(scan_dropped[0], jnp.int32)
+        scan_s_drop = jnp.asarray(scan_dropped[1], jnp.int32)
+    rdtype = new_pose.t.dtype
     diag = OdomDiagnostics(
         num_edge_factors=stats.num_edge,
         num_surf_factors=stats.num_surf,
@@ -471,7 +504,13 @@ def odom_step_impl(state: OdomState, edge: PointBatch, surf: PointBatch,
         cost=stats.cost,
         pose_row=jnp.concatenate([
             new_pose.q, new_pose.t,
-            is_kf[None].astype(new_pose.t.dtype)]),
+            is_kf[None].astype(rdtype),
+            scan_e_drop[None].astype(rdtype),
+            scan_s_drop[None].astype(rdtype),
+            map_dropped[None].astype(rdtype)]),
+        scan_edge_dropped=scan_e_drop,
+        scan_surf_dropped=scan_s_drop,
+        map_insert_dropped=map_dropped,
     )
     return new_state, diag
 

@@ -125,34 +125,46 @@ class ImuStream:
     MIN_DT = 1e-5  # duplicate-stamp rejection threshold (:31)
 
     def __init__(self, window_capacity: int = 64):
+        import threading
+
         self.stamps: List[float] = []
         self.quats: List[np.ndarray] = []
         self.window_capacity = window_capacity
+        #: producers (bag reader / subscriber thread) may append while the
+        #: consumer thread reads a window — the reference's equivalent
+        #: buffer is mutex-guarded (and famously misuses try_lock,
+        #: src/laserProcessingNode.cpp:84-89); this one locks correctly
+        self._lock = threading.Lock()
 
     def add(self, stamp: float, quat_wxyz) -> bool:
-        if self.stamps and stamp - self.stamps[-1] <= self.MIN_DT:
-            return False
-        self.stamps.append(float(stamp))
-        self.quats.append(np.asarray(quat_wxyz, np.float64))
-        return True
+        with self._lock:
+            if self.stamps and stamp - self.stamps[-1] <= self.MIN_DT:
+                return False
+            self.stamps.append(float(stamp))
+            self.quats.append(np.asarray(quat_wxyz, np.float64))
+            return True
 
     def contains(self, t: float) -> bool:
-        return bool(self.stamps) and self.stamps[0] <= t <= self.stamps[-1]
+        with self._lock:
+            return bool(self.stamps) and \
+                self.stamps[0] <= t <= self.stamps[-1]
 
     def window(self, t0: float, t1: float
                ) -> Tuple[np.ndarray, np.ndarray, int]:
         """Padded sample window covering [t0, t1] (one bracketing sample on
         each side). Returns (stamps (W,), quats (W,4), count)."""
         W = self.window_capacity
-        stamps = np.asarray(self.stamps)
+        with self._lock:
+            stamps = np.asarray(self.stamps)
+            quats = np.asarray(self.quats) if self.quats else \
+                np.zeros((0, 4))
         lo = int(np.searchsorted(stamps, t0, side="right")) - 1
         hi = int(np.searchsorted(stamps, t1, side="left")) + 1
         lo = max(lo, 0)
         hi = min(hi, len(stamps))
         sel = slice(lo, hi)
         s = stamps[sel][:W]
-        q = np.asarray(self.quats)[sel][:W] if len(self.quats) else \
-            np.zeros((0, 4))
+        q = quats[sel][:W]
         n = len(s)
         out_s = np.full((W,), np.inf)
         out_q = np.tile(np.array([1.0, 0, 0, 0]), (W, 1))

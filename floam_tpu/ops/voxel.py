@@ -9,8 +9,10 @@ TPU-native replacements for the reference's PCL filters:
 
 Everything is static-shape: dynamic point counts become validity masks, and
 "number of occupied voxels" becomes a fixed output capacity (overflow voxels
-are dropped — capacities are sized so this does not happen in practice; the
-host pipeline warns via ``PointBatch.count()`` telemetry).
+are dropped — capacities are sized so this does not happen in practice, and
+the hot path counts every capacity drop per frame: OdomDiagnostics
+scan_*/map_insert_dropped, surfaced in summary.json "dropped_points",
+frame_info.jsonl, and a one-shot runtime warning in SequenceRunner).
 
 Voxel identity uses a 3-D multiplicative hash of the integer cell index into
 uint32. Hash collisions merge distinct voxels; with ~1e5 points the expected

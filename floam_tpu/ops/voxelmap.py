@@ -215,13 +215,19 @@ def _ownership_key(cells: jnp.ndarray) -> jnp.ndarray:
 
 def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
            count_cap: float = 25.0, bucket_base=None,
-           global_buckets: int = 0, probe_rounds: int = 2) -> VoxelHashMap:
+           global_buckets: int = 0, probe_rounds: int = 2,
+           return_dropped: bool = False):
     """Scatter points into their voxels (running mean, weight-capped).
 
     When ``vm`` is a device-local shard of a bucket-range-sharded table,
     pass ``global_buckets`` (full table size, static) and ``bucket_base``
     (this device's first global bucket, traced): points hashing outside the
     local range are dropped here and inserted by their owning device.
+
+    ``return_dropped``: additionally return the () int32 count of VALID
+    points that found no slot within ``probe_rounds`` (bucket-alias
+    overflow of an undersized table) — a mis-sized table/crop/preset combo
+    must surface as a counter, not as silent ATE loss.
     """
     H = vm.num_buckets
     cells = jnp.floor(xyz / vm.leaf).astype(jnp.int32)
@@ -253,8 +259,12 @@ def insert(vm: VoxelHashMap, xyz: jnp.ndarray, mask: jnp.ndarray,
     counts = table_scatter_add(vm.counts, slot, w)
     over = counts > count_cap
     scale = jnp.where(over, count_cap / jnp.maximum(counts, 1.0), 1.0)
-    return vm._replace(sx=sx * scale, sy=sy * scale, sz=sz * scale,
-                       counts=jnp.minimum(counts, count_cap), keys=keys)
+    out = vm._replace(sx=sx * scale, sy=sy * scale, sz=sz * scale,
+                      counts=jnp.minimum(counts, count_cap), keys=keys)
+    if return_dropped:
+        dropped = jnp.sum(mask & (slot == H * vm.ways), dtype=jnp.int32)
+        return out, dropped
+    return out
 
 
 def crop(vm: VoxelHashMap, center: jnp.ndarray, radius) -> VoxelHashMap:

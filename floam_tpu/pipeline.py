@@ -50,6 +50,11 @@ def _bitrev_perm(n: int) -> Tuple[int, ...]:
 
 def _features_from_scan(scan: RingScan, cfg: FloamConfig
                         ) -> Tuple[PointBatch, PointBatch]:
+    edge, surf, _ = _features_from_scan_counted(scan, cfg)
+    return edge, surf
+
+
+def _features_from_scan_counted(scan: RingScan, cfg: FloamConfig):
     """Feature clouds compacted to the association query budgets — the TPU
     analogue of the reference's scan-side VoxelGrid downsample
     (downSamplingToMap, src/odomEstimationClass.cpp:137-142). k-NN gather
@@ -97,7 +102,15 @@ def _features_from_scan(scan: RingScan, cfg: FloamConfig
         s_xyz, s_mask, cfg.odom.scan_surf_capacity,
         extras=(s_time, s_inten))
     surf = PointBatch(xyz=sx, mask=sm, time=st, intensity=si)
-    return edge, surf
+    # capacity-overflow counters: VALID candidates shed by the compaction
+    # budgets (the deliberate structural subsampling above is not counted —
+    # only what the budgets truncate). Surfaced via OdomDiagnostics /
+    # pose_row so undersized presets are visible, not silent ATE loss.
+    e_drop = jnp.maximum(
+        jnp.sum(e_valid.astype(jnp.int32)) - cfg.odom.scan_edge_capacity, 0)
+    s_drop = jnp.maximum(
+        jnp.sum(s_mask.astype(jnp.int32)) - cfg.odom.scan_surf_capacity, 0)
+    return edge, surf, (e_drop, s_drop)
 
 
 def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig,
@@ -126,9 +139,10 @@ def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig,
                 *scan, capacity=cfg.lidar.points_per_ring)
         else:
             scan = RingScan.from_packed(scan)
-    edge, surf = _features_from_scan(scan, cfg)
+    edge, surf, drops = _features_from_scan_counted(scan, cfg)
     if not cfg.odom.deskew:
-        state2, diag = odometry.odom_step_impl(state, edge, surf, cfg)
+        state2, diag = odometry.odom_step_impl(state, edge, surf, cfg,
+                                               scan_dropped=drops)
         if return_clouds:
             return state2, diag, (edge, surf)
         return state2, diag
@@ -151,7 +165,8 @@ def full_step(state: OdomState, scan: RingScan, cfg: FloamConfig,
     # refinement: start from the registered pose, no re-prediction
     # (REFINEMENT_AND_UPDATE intent, :63-68), map update keyframe-gated.
     state2, diag = odometry.odom_step_impl(state1, edge_d, surf_d, cfg,
-                                           predict=False)
+                                           predict=False,
+                                           scan_dropped=drops)
     if return_clouds:
         return state2, diag, (edge_d, surf_d)
     return state2, diag
@@ -187,6 +202,15 @@ class FrameRecord:
     @property
     def is_keyframe(self) -> bool:
         return bool(self.host_row()[7] > 0.5)
+
+    @property
+    def dropped_points(self) -> Tuple[int, int, int]:
+        """(scan_edge, scan_surf, map_insert) capacity-overflow counts for
+        this frame (0s for rows recorded before the counters existed)."""
+        row = self.host_row()
+        if len(row) < 11:
+            return (0, 0, 0)
+        return (int(row[8]), int(row[9]), int(row[10]))
 
     @property
     def num_edge_factors(self) -> int:
@@ -300,7 +324,8 @@ class Pipeline:
             self.state = odometry.init_map(self.state, edge, surf, self.cfg)
             self._initialized = True
             rec = FrameRecord(stamp, np.array(
-                [1.0, 0, 0, 0, 0, 0, 0, 1.0], np.dtype(self.dtype)))
+                [1.0, 0, 0, 0, 0, 0, 0, 1.0, 0, 0, 0],
+                np.dtype(self.dtype)))
             if self.collect_clouds:
                 self.last_clouds = (edge, surf)
                 if self.keep_clouds:
@@ -438,6 +463,16 @@ class Pipeline:
                                      jnp.stack([f._n_surf for f in dev])))
             for f, a, b in zip(dev, ne, ns):
                 f._n_edge, f._n_surf = int(a), int(b)
+
+    def drop_totals(self) -> Dict[str, int]:
+        """Run-total capacity-overflow counters (see
+        FrameRecord.dropped_points); one stacked transfer."""
+        self._materialize_rows()
+        tot = np.zeros(3, np.int64)
+        for f in self.frames:
+            tot += np.asarray(f.dropped_points, np.int64)
+        return {"scan_edge": int(tot[0]), "scan_surf": int(tot[1]),
+                "map_insert": int(tot[2])}
 
     def trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(stamps (N,), quats (N,4) wxyz, trans (N,3)); one batched

@@ -23,7 +23,7 @@ import numpy as np
 from .config import FloamConfig
 from .mapping import GlobalMap
 from .pipeline import Pipeline
-from .types import Pose, RingScan
+from .types import RingScan
 from .utils.checkpoint import save_checkpoint
 from .utils.profiling import RateMeter
 
@@ -146,7 +146,7 @@ class SequenceRunner:
         cloud_exports = bool(output_dir) and (
             ec.save_balm or ec.save_posegraph or ec.save_odom
             or ec.save_merged)
-        collect = cloud_exports or cfg.ba.enabled
+        collect = cloud_exports or cfg.ba.enabled or cfg.loop.enabled
         spool_path = (Path(output_dir) / "clouds.spool") \
             if cloud_exports else None
         self.pipe = Pipeline(cfg, dtype=dtype, collect_clouds=collect,
@@ -193,6 +193,31 @@ class SequenceRunner:
         from .utils.profiling import ScopedTimers
 
         self.timers = ScopedTimers()
+        #: background global-map feed (the mapping node, process #3 of the
+        #: reference, laserMappingNode.cpp:52-101): keyframe (scan, pose)
+        #: pairs are queued here and a worker thread decodes the wire-format
+        #: scan on the host and feeds GlobalMap — the frame loop never
+        #: blocks on the per-keyframe device->host cloud fetch, and the
+        #: re-voxelize batches over however many keyframes queued up
+        self._map_queue = None
+        self._map_thread = None
+        self._map_err: list = []
+        self._drop_warned = False
+        # --- loop-closure back-end state (cfg.loop; floam_tpu.posegraph):
+        # stored keyframe nodes (host poses + host feature clouds fetched
+        # on a background thread), async registration results, accepted
+        # edges for the export ---
+        self._kf_poses: dict = {}  # frame_idx -> (q (4,), t (3,)) host
+        self._kf_store: dict = {}  # frame_idx -> host cloud planes
+        self._store_pending: list = []
+        self._store_queue = None
+        self._store_thread = None
+        self._registrar = None
+        self._loop_pending: list = []  # [(i, j, PairResult device)]
+        self._loop_edges: list = []  # accepted (a, b, dq, dt) host
+        self._loop_attempts = 0
+        self._last_loop_attempt = -(10 ** 9)
+        self._kf_counter = 0
 
     @classmethod
     def from_checkpoint(cls, path, cfg: FloamConfig, dtype=jnp.float32,
@@ -242,7 +267,8 @@ class SequenceRunner:
         # after process() blocks the host on the step it just dispatched
         # AND pays a device->host round trip per frame — at tunneled-TPU
         # latencies that serialized the loop to ~1/10 of the device rate.
-        track_kf = (self.global_map is not None) or self.cfg.ba.enabled
+        track_kf = (self.global_map is not None) or self.cfg.ba.enabled \
+            or self.cfg.loop.enabled
         pending: list = []  # [(frame_idx, rec, scan?, clouds)]
         t_loop0 = time.perf_counter()
         while True:
@@ -281,6 +307,9 @@ class SequenceRunner:
 
         with self.timers.scope("kf_drain_final"):
             self._drain_keyframes(pending, final=True)
+        if self.global_map is not None:
+            with self.timers.scope("map_feed_drain"):
+                self._join_map_feed()
         if n and self.pipe._initialized:
             with self.timers.scope("device_drain"):
                 jax.block_until_ready(self.pipe.state.pose.t)
@@ -302,8 +331,16 @@ class SequenceRunner:
                            scans_per_sec=(n / wall if wall > 0 else 0.0),
                            scans_per_sec_steady=steady)
         self._materialize_ba_poses()
+        corrected = False
         if self._ba_poses:
             result.quats, result.trans = self._apply_ba(qs, ts)
+            corrected = True
+        if self.cfg.loop.enabled:
+            self._flush_kf_store()
+            if self._store_queue is not None:
+                self._store_queue.join()
+            self._solve_loops(result)
+            corrected = corrected or bool(self._loop_edges)
         if gt is not None:
             from . import metrics
 
@@ -314,7 +351,7 @@ class SequenceRunner:
                                            result.trans[:m], gt_q[:m],
                                            gt_t[:m])
             result.drift_pct = drift * 100.0 if np.isfinite(drift) else None
-            if self._ba_poses:
+            if corrected:
                 result.ate_odom, _ = metrics.ate(ts[:m], gt_t[:m])
         if self.output_dir:
             self.export(result)
@@ -354,6 +391,19 @@ class SequenceRunner:
         self._kf_inflight = None
         with self.timers.scope("kf_flag_fetch"):
             rows = jax.device_get(stacked)
+        # warn ONCE when the map hash table sheds points (row[10]): unlike
+        # the scan budgets — whose truncation is the designed uniform
+        # decimation, counted in summary.json but expected — a map-insert
+        # drop is always a mis-sized table losing geometry silently
+        if not self._drop_warned and rows.shape[1] >= 11 \
+                and float(rows[:, 10].sum()) > 0:
+            self._drop_warned = True
+            tot = rows[:, 8:11].sum(axis=0).astype(int)
+            print(f"[floam_tpu] WARNING: map hash-table overflow is "
+                  f"dropping points (map_insert={tot[2]} so far; scan "
+                  f"budget shed edge={tot[0]} surf={tot[1]}) — raise "
+                  "OdomConfig.map_*_table / map_insert_probe_rounds (see "
+                  "summary.json dropped_points)", flush=True)
         for (idx, rec, scan, clouds), row in zip(entries, rows):
             # keep the DEVICE pose row for the BA window before caching
             # the host value into the record: feeding cached numpy poses
@@ -387,15 +437,255 @@ class SequenceRunner:
     def _handle_keyframe(self, frame_idx: int, rec, scan, clouds,
                          row_dev=None) -> None:
         if self.global_map is not None and scan is not None:
-            xyz = np.asarray(scan.xyz).reshape(-1, 3)
-            mask = np.asarray(scan.mask).reshape(-1)
-            pose = Pose(q=jnp.asarray(rec.pose_q, jnp.float32),
-                        t=jnp.asarray(rec.pose_t, jnp.float32))
-            self.global_map.update(jnp.asarray(xyz), pose,
-                                   mask=jnp.asarray(mask))
+            self._ensure_map_thread()
+            # bounded queue = back-pressure: if the mapping feed cannot
+            # keep up, the frame loop throttles (the reference's analogue
+            # is its queue-backlog warning, odomEstimationNode.cpp:179-181)
+            self._map_queue.put(
+                (scan, rec.pose_q.copy(), rec.pose_t.copy()))
         if self.cfg.ba.enabled:
             self._on_keyframe(frame_idx, clouds,
                               row_dev if row_dev is not None else rec._row)
+        if self.cfg.loop.enabled and clouds is not None:
+            self._on_loop_keyframe(frame_idx, rec, clouds)
+
+    # ------------------------------------------------------------------
+    # Loop-closure back-end (cfg.loop; floam_tpu.posegraph)
+    # ------------------------------------------------------------------
+
+    def _on_loop_keyframe(self, frame_idx: int, rec, clouds) -> None:
+        """Store every Nth keyframe as a pose-graph node (host pose now,
+        host clouds via a background batched fetch) and attempt a loop
+        registration when the pose revisits an old stored node. The
+        registration itself is an async jitted device program — only its
+        DISPATCH happens here; results are read once, at end of run."""
+        lc = self.cfg.loop
+        self._kf_counter += 1
+        if (self._kf_counter - 1) % lc.keyframe_stride:
+            return
+        q = np.asarray(rec.pose_q, np.float64).copy()
+        t = np.asarray(rec.pose_t, np.float64).copy()
+        self._kf_poses[frame_idx] = (q, t)
+        edge, surf = clouds
+        self._store_pending.append((frame_idx, edge, surf))
+        if len(self._store_pending) >= 4:
+            self._flush_kf_store()
+        # --- revisit detection (host, O(stored nodes)) ---
+        if self._loop_attempts >= lc.max_attempts or \
+                frame_idx - self._last_loop_attempt < lc.attempt_every:
+            return
+        best = None
+        for j, (qj, tj) in self._kf_poses.items():
+            if frame_idx - j < lc.min_index_gap or j not in self._kf_store:
+                continue
+            d = float(np.linalg.norm(t - tj))
+            if d < lc.detect_radius and (best is None or d < best[1]):
+                best = (j, d)
+        if best is None:
+            return
+        j = best[0]
+        self._last_loop_attempt = frame_idx
+        self._loop_attempts += 1
+        if self._registrar is None:
+            from . import posegraph
+
+            self._registrar = posegraph.make_pair_registrar(
+                self.cfg, rounds=lc.register_rounds, dtype=self.pipe.dtype)
+        from .ops import se3
+
+        qj, tj = self._kf_poses[j]
+        q0, t0 = se3.pose_compose(
+            *se3.pose_inverse(jnp.asarray(qj, self.pipe.dtype),
+                              jnp.asarray(tj, self.pipe.dtype)),
+            jnp.asarray(q, self.pipe.dtype),
+            jnp.asarray(t, self.pipe.dtype))
+        st = self._kf_store[j]
+        with self.timers.scope("loop_dispatch"):
+            res = self._registrar(
+                jnp.asarray(st["e_xyz"]), jnp.asarray(st["e_mask"]),
+                jnp.asarray(st["s_xyz"]), jnp.asarray(st["s_mask"]),
+                edge.xyz, edge.mask, surf.xyz, surf.mask, q0, t0)
+        self._loop_pending.append((frame_idx, j, res))
+
+    def _flush_kf_store(self) -> None:
+        """Hand pending stored-keyframe clouds to a background fetch
+        thread as ONE stacked transfer (the cloud-spool pattern)."""
+        if not self._store_pending:
+            return
+        self._ensure_store_thread()
+        idxs = [i for i, _, _ in self._store_pending]
+        chunk = (
+            jnp.stack([e.xyz for _, e, _ in self._store_pending]),
+            jnp.stack([e.mask for _, e, _ in self._store_pending]),
+            jnp.stack([s.xyz for _, _, s in self._store_pending]),
+            jnp.stack([s.mask for _, _, s in self._store_pending]),
+        )
+        self._store_pending.clear()
+        self._store_queue.put((idxs, chunk))
+
+    def _ensure_store_thread(self) -> None:
+        import queue
+        import threading
+
+        if self._store_thread is not None:
+            return
+        self._store_queue = queue.Queue(maxsize=8)
+
+        def worker():
+            while True:
+                item = self._store_queue.get()
+                try:
+                    if item is None:
+                        return
+                    idxs, chunk = item
+                    try:
+                        ex, em, sx, sm = jax.device_get(chunk)
+                        for k, idx in enumerate(idxs):
+                            self._kf_store[idx] = dict(
+                                e_xyz=ex[k], e_mask=em[k],
+                                s_xyz=sx[k], s_mask=sm[k])
+                    except BaseException as e:
+                        self._map_err.append(e)
+                finally:
+                    self._store_queue.task_done()
+
+        self._store_thread = threading.Thread(target=worker, daemon=True)
+        self._store_thread.start()
+
+    def _solve_loops(self, result: RunResult) -> None:
+        """End-of-run pose-graph solve: fetch every pending registration
+        result in one transfer, gate acceptance, optimize the stored
+        keyframe chain with the accepted loop edges, and propagate the
+        correction to the full trajectory (posegraph.apply_refined_poses).
+        Replaces the external lio_sam back-end of the reference deployment
+        (launch/structor_slam.launch:50-52)."""
+        lc = self.cfg.loop
+        if not (lc.enabled and self._loop_pending):
+            return
+        from . import posegraph
+
+        with self.timers.scope("loop_solve"):
+            fetched = jax.device_get([r for _, _, r in self._loop_pending])
+            accepted = []
+            for (i, j, _), res in zip(self._loop_pending, fetched):
+                n = int(res.num_edge) + int(res.num_surf)
+                mean_cost = float(res.cost) / max(n, 1)
+                if n >= lc.min_factors and mean_cost <= lc.max_cost:
+                    # edge a=j -> b=i with Z = T_j^-1 T_i as measured
+                    accepted.append((j, i, np.asarray(res.q, np.float64),
+                                     np.asarray(res.t, np.float64)))
+            self._loop_edges = accepted
+            if not accepted:
+                return
+            nodes = sorted(self._kf_poses)
+            pos = {f: k for k, f in enumerate(nodes)}
+            q_nodes = result.quats[nodes]
+            t_nodes = result.trans[nodes]
+            ei, ej, dq, dt = posegraph.chain_edges(q_nodes, t_nodes)
+            w = np.tile([lc.rot_weight] * 3 + [lc.trans_weight] * 3,
+                        (len(ei), 1))
+            for a, b, zq, zt in accepted:
+                ei = np.concatenate([ei, [pos[a]]]).astype(np.int32)
+                ej = np.concatenate([ej, [pos[b]]]).astype(np.int32)
+                dq = np.concatenate([dq, [zq]])
+                dt = np.concatenate([dt, [zt]])
+                w = np.concatenate(
+                    [w, [[lc.rot_weight * lc.loop_weight_scale] * 3
+                         + [lc.trans_weight * lc.loop_weight_scale] * 3]])
+            q2, t2 = posegraph.optimize_pose_graph_jit(
+                jnp.asarray(q_nodes), jnp.asarray(t_nodes), ei, ej,
+                jnp.asarray(dq), jnp.asarray(dt), jnp.asarray(w),
+                iters=lc.iters, damping=lc.damping)
+            refined = {f: (np.asarray(q2)[k], np.asarray(t2)[k])
+                       for k, f in enumerate(nodes)}
+            result.quats, result.trans = posegraph.apply_refined_poses(
+                refined, result.quats, result.trans)
+
+    # ------------------------------------------------------------------
+    # Global-map feed (the reference's mapping node, process #3)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _scan_host_cloud(scan):
+        """Decode ANY stream-item scan representation to host (xyz (N, 3),
+        mask (N,), intensity (N,) | None): a RingScan (device or host), a
+        packed (R, C, 5|6) f32 plane, or a quantized q16 wire tuple — the
+        q16 fetch moves only the ~0.5 MB wire bytes and dequantizes on the
+        host (RingScan.unpack_host_q16)."""
+        if isinstance(scan, RingScan):
+            xyz, mask, inten = jax.device_get(
+                (scan.xyz, scan.mask, scan.intensity))
+            return (np.asarray(xyz).reshape(-1, 3),
+                    np.asarray(mask).reshape(-1),
+                    np.asarray(inten).reshape(-1))
+        if isinstance(scan, tuple):  # (data u16, counts, meta) q16 wire
+            data, counts, meta = jax.device_get(scan)
+            xyz, _, mask, inten = RingScan.unpack_host_q16(
+                data, counts, meta)
+            return xyz.reshape(-1, 3), mask.reshape(-1), inten.reshape(-1)
+        d = np.asarray(jax.device_get(scan))  # packed f32 plane
+        return (d[..., :3].reshape(-1, 3),
+                (d[..., 4] > 0.5).reshape(-1),
+                d[..., 5].reshape(-1) if d.shape[-1] > 5 else None)
+
+    def _ensure_map_thread(self) -> None:
+        import queue
+        import threading
+
+        if self._map_thread is not None:
+            return
+        self._map_queue = queue.Queue(maxsize=32)
+
+        def worker():
+            q = self._map_queue
+            while True:
+                batch = [q.get()]
+                try:
+                    while True:
+                        batch.append(q.get_nowait())
+                except queue.Empty:
+                    pass
+                stop = False
+                last_t = None
+                try:
+                    for item in batch:
+                        if item is None:
+                            stop = True
+                            continue
+                        scan, pose_q, pose_t = item
+                        try:
+                            xyz, mask, _ = self._scan_host_cloud(scan)
+                            self.global_map.update_host(
+                                xyz, pose_q, pose_t, mask=mask,
+                                revoxelize=False)
+                            last_t = pose_t
+                        except BaseException as e:
+                            self._map_err.append(e)
+                    if last_t is not None:
+                        # ONE batched device re-voxelize per drained batch
+                        # (exact: the filter is idempotent and dirty blocks
+                        # stay tracked until filtered)
+                        try:
+                            self.global_map.revoxelize(last_t)
+                        except BaseException as e:
+                            self._map_err.append(e)
+                finally:
+                    for _ in batch:
+                        q.task_done()
+                if stop:
+                    return
+
+        self._map_thread = threading.Thread(target=worker, daemon=True)
+        self._map_thread.start()
+
+    def _join_map_feed(self) -> None:
+        """Block until every queued keyframe has been folded into the
+        global map; surface worker failures in the caller (a silently
+        truncated map is a wrong export)."""
+        if self._map_queue is not None:
+            self._map_queue.join()
+        if self._map_err:
+            raise self._map_err[0]
 
     def _on_keyframe(self, frame_idx: int, clouds, row_dev) -> None:
         """Track the keyframe window; run BA every cfg.ba.every keyframes
@@ -535,10 +825,17 @@ class SequenceRunner:
             # utils.cpp:3-78 — the reference also dumps per-keyframe dirs)
             flags = self.pipe.keyframe_flags()[:n]
             kf = [i for i in range(n) if flags[i]] or list(range(n))
+            # accepted loop constraints ride the g2o as extra EDGE_SE3:QUAT
+            # lines between their keyframe vertices
+            vert = {f: k for k, f in enumerate(kf)}
+            extra = [(vert[a], vert[b], zq, zt)
+                     for a, b, zq, zt in self._loop_edges
+                     if a in vert and b in vert]
             ex.save_posegraph(out / "posegraph",
                               result.quats[kf], result.trans[kf],
                               result.stamps[kf],
-                              clouds=(clouds[i] for i in kf) if n else None)
+                              clouds=(clouds[i] for i in kf) if n else None,
+                              extra_edges=extra or None)
         if ec.save_balm:
             ex.save_balm(out / "balm", result.quats[:n], result.trans[:n],
                          result.stamps[:n],
@@ -561,7 +858,12 @@ class SequenceRunner:
             "ate_m": result.ate,
             "ate_odom_m": result.ate_odom,
             "ba_windows": len(self._ba_poses),
+            "loop_attempts": self._loop_attempts,
+            "loop_edges": len(self._loop_edges),
             "drift_pct": result.drift_pct,
+            # capacity-overflow counters (0 = no silent truncation
+            # anywhere in the run); per-frame values in frame_info.jsonl
+            "dropped_points": self.pipe.drop_totals(),
             # host-side per-stage attribution (ms totals) of the run loop
             "host_stage_ms": {k: round(v * 1e3, 1)
                               for k, v in self.timers.totals.items()},
@@ -590,24 +892,44 @@ def run_rosbag_sequence(bag_path, cfg: Optional[FloamConfig] = None,
     src = RosbagSource(bag_path, cloud_topic=cloud_topic,
                       imu_topic=imu_topic)
 
+    def make_scan(stamp, payload):
+        inten = payload["intensity"]
+        raw = np.concatenate(
+            [payload["xyz"],
+             (inten if inten is not None
+              else np.zeros(len(payload["xyz"]), np.float32))[:, None]],
+            axis=1)
+        return stamp, bin_to_ring_scan(raw, cfg.lidar,
+                                       rings=payload["ring"],
+                                       times=payload["time"])
+
     def gen():
+        # DETERMINISTIC IMU feed: a scan's sweep-covering IMU messages
+        # come AFTER the scan in bag order, and this generator runs on the
+        # producer thread while the consumer deskews — so a scan is held
+        # back until an IMU sample past its sweep end has been fed (the
+        # queue hand-off then orders the buffer write before the consumer
+        # read). Without this, whether a given scan gets deskewed depends
+        # on thread timing.
+        from collections import deque
+
+        margin = 1.5 * cfg.lidar.scan_period
+        pending = deque()
+        latest_imu = -np.inf
         n = 0
         for kind, stamp, payload in src:
             if kind == "imu":
                 runner.pipe.add_imu(stamp, payload)
-                continue
-            if max_frames is not None and n >= max_frames:
-                break
-            inten = payload["intensity"]
-            raw = np.concatenate(
-                [payload["xyz"],
-                 (inten if inten is not None
-                  else np.zeros(len(payload["xyz"]), np.float32))[:, None]],
-                axis=1)
-            scan = bin_to_ring_scan(raw, cfg.lidar, rings=payload["ring"],
-                                    times=payload["time"])
-            n += 1
-            yield stamp, scan
+                latest_imu = max(latest_imu, stamp)
+            else:
+                if max_frames is not None and n >= max_frames:
+                    break
+                pending.append((stamp, payload))
+                n += 1
+            while pending and latest_imu > pending[0][0] + margin:
+                yield make_scan(*pending.popleft())
+        while pending:  # tail scans: stream ended, feed what we have
+            yield make_scan(*pending.popleft())
 
     return runner.run(gen(), progress_every=progress_every)
 

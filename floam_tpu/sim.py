@@ -32,13 +32,21 @@ class Plane:
 
 @dataclasses.dataclass(frozen=True)
 class Cylinder:
-    """Vertical cylinder (pole) at (cx, cy), radius r, z in [z0, z1]."""
+    """Vertical cylinder (pole) at (cx, cy), radius r, z in [z0, z1].
+
+    ``vx``/``vy`` make it a MOVING object (m/s in world frame): its
+    center translates continuously with absolute time — both within a
+    sweep (per-column fire times) and across frames — modelling
+    pedestrians/vehicles, the classic dynamic-object stressor real data
+    has and a static simulator hides."""
 
     cx: float
     cy: float
     r: float
     z0: float
     z1: float
+    vx: float = 0.0
+    vy: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +116,52 @@ class World:
         return World(planes=planes, cylinders=cylinders)
 
 
+    @staticmethod
+    def corridor(length: float = 60.0, width: float = 4.0,
+                 height: float = 3.0, num_poles: int = 3,
+                 seed: int = 0) -> "World":
+        """A long straight corridor (x in [0, length]) with end walls and a
+        few poles clustered near the START — the classic degenerate
+        geometry for scan matching: away from the ends, the two side
+        walls + floor + ceiling constrain only 3 of 6 DoF, so
+        along-corridor translation drifts and only a REVISIT of the
+        feature-rich start can correct it (the loop-closure test/bench
+        scenario)."""
+        rng = np.random.default_rng(seed)
+        hw = width / 2.0
+        planes = [
+            Plane(np.array([0.0, 0, 1]), 0.0,
+                  np.array([length / 2, 0.0, 0.0]),
+                  np.array([length, hw, 0.01])),
+            Plane(np.array([0.0, 0, 1]), -height,
+                  np.array([length / 2, 0.0, height]),
+                  np.array([length, hw, 0.01])),
+            Plane(np.array([0.0, 1, 0]), hw,
+                  np.array([length / 2, -hw, height / 2]),
+                  np.array([length, 0.01, height])),
+            Plane(np.array([0.0, 1, 0]), -hw,
+                  np.array([length / 2, hw, height / 2]),
+                  np.array([length, 0.01, height])),
+            Plane(np.array([1.0, 0, 0]), 0.0,
+                  np.array([0.0, 0.0, height / 2]),
+                  np.array([0.01, hw, height])),
+            Plane(np.array([1.0, 0, 0]), -length,
+                  np.array([length, 0.0, height / 2]),
+                  np.array([0.01, hw, height])),
+        ]
+        cylinders = []
+        for k in range(num_poles):
+            # poles cluster at BOTH ends (doorframe-like landmarks); the
+            # middle stays degenerate, so along-corridor drift accumulates
+            # there and only an end revisit can correct it
+            x0 = 1.0 if k % 2 == 0 else length - 6.0
+            cylinders.append(Cylinder(
+                float(rng.uniform(x0, x0 + 5.0)),
+                float(rng.uniform(-hw * 0.7, hw * 0.7)),
+                float(rng.uniform(0.06, 0.12)), 0.0, height))
+        return World(planes=planes, cylinders=cylinders)
+
+
 def _box_planes(cx: float, cy: float, wx: float, wy: float,
                 h: float) -> List[Plane]:
     """Axis-aligned building box: 4 rectangular walls + flat roof."""
@@ -127,8 +181,14 @@ def _box_planes(cx: float, cy: float, wx: float, wy: float,
 
 
 def raycast(world: World, origins: np.ndarray, dirs: np.ndarray,
-            max_range: float) -> np.ndarray:
-    """Nearest-hit distances for rays (N,3),(N,3) -> t (N,), inf if no hit."""
+            max_range: float, ray_times: Optional[np.ndarray] = None,
+            t_abs: float = 0.0) -> np.ndarray:
+    """Nearest-hit distances for rays (N,3),(N,3) -> t (N,), inf if no hit.
+
+    ``ray_times`` (N,) + ``t_abs``: per-ray absolute fire times — moving
+    cylinders (vx/vy != 0) are evaluated at their time-translated
+    positions, so dynamic objects smear within a sweep and displace
+    across frames exactly as real ones do."""
     n = len(origins)
     best = np.full(n, np.inf)
     for pl in world.planes:
@@ -140,8 +200,16 @@ def raycast(world: World, origins: np.ndarray, dirs: np.ndarray,
         ok = (t > 1e-6) & np.all(np.abs(hit - pl.center) <= he, axis=1)
         best = np.where(ok & (t < best), t, best)
     for cyl in world.cylinders:
-        ox = origins[:, 0] - cyl.cx
-        oy = origins[:, 1] - cyl.cy
+        if (cyl.vx or cyl.vy) and ray_times is not None:
+            tt = t_abs + ray_times
+            ox = origins[:, 0] - (cyl.cx + cyl.vx * tt)
+            oy = origins[:, 1] - (cyl.cy + cyl.vy * tt)
+        elif cyl.vx or cyl.vy:
+            ox = origins[:, 0] - (cyl.cx + cyl.vx * t_abs)
+            oy = origins[:, 1] - (cyl.cy + cyl.vy * t_abs)
+        else:
+            ox = origins[:, 0] - cyl.cx
+            oy = origins[:, 1] - cyl.cy
         dx, dy = dirs[:, 0], dirs[:, 1]
         a = dx * dx + dy * dy
         b = 2 * (ox * dx + oy * dy)
@@ -175,14 +243,39 @@ def simulate_scan_np(
     noise: float = 0.0,
     seed: int = 0,
     motion_per_rev: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    t_abs: float = 0.0,
+    dropout_ring_p: float = 0.0,
+    dropout_point_p: float = 0.0,
+    noise_range_coeff: float = 0.0,
+    elev_miscal_deg: float = 0.0,
 ):
     """NumPy-only scan simulation (no JAX: picklable for worker-pool batch
-    generation). Returns dict(xyz (R,C,3) f32, time (R,C) f32, mask (R,C))."""
+    generation). Returns dict(xyz (R,C,3) f32, time (R,C) f32, mask (R,C)).
+
+    Realism stressors (each defaults off; the robustness matrix sweeps
+    them — closest available proxy for real-data effects in this
+    environment):
+      * ``t_abs`` — absolute frame time; moving cylinders (Cylinder.vx/vy)
+        are ray-cast at their time-translated positions (dynamic objects,
+        smeared within the sweep via per-column fire times);
+      * ``dropout_ring_p`` — per-frame probability a whole ring yields no
+        returns (laser dropout / blockage);
+      * ``dropout_point_p`` — i.i.d. per-point return dropout;
+      * ``noise_range_coeff`` — range-dependent noise: sigma_eff =
+        noise * (1 + coeff * range) (real rangefinders degrade with
+        distance);
+      * ``elev_miscal_deg`` — per-ring elevation-angle miscalibration,
+        FIXED across frames (systematic; drawn from a seed-independent
+        rng so every frame sees the same miscalibrated sensor).
+    """
     rng = np.random.default_rng(seed)
     R, C = lidar.num_lines, lidar.points_per_ring
     az = np.linspace(0.0, 2 * np.pi, azimuth_steps, endpoint=False)
     el = np.deg2rad(np.linspace(elevation_limits[0], elevation_limits[1],
                                 R))
+    if elev_miscal_deg:
+        cal_rng = np.random.default_rng(0xCA1)  # fixed: systematic error
+        el = el + np.deg2rad(cal_rng.normal(0.0, elev_miscal_deg, R))
     azg, elg = np.meshgrid(az, el)  # (R, A)
     d_sensor = np.stack(
         [np.cos(elg) * np.cos(azg), np.cos(elg) * np.sin(azg),
@@ -231,8 +324,14 @@ def simulate_scan_np(
         d_world = d_sensor @ Rm.T
         origins = np.broadcast_to(pose_t, d_sensor.shape).copy()
 
-    t_hit = raycast(world, origins, d_world, lidar.max_distance)
-    rng_noise = rng.normal(0, noise, size=t_hit.shape) if noise > 0 else 0.0
+    t_hit = raycast(world, origins, d_world, lidar.max_distance,
+                    ray_times=times, t_abs=t_abs)
+    if noise > 0:
+        sigma = noise * (1.0 + noise_range_coeff
+                         * np.nan_to_num(t_hit, posinf=0.0))
+        rng_noise = rng.normal(0, 1.0, size=t_hit.shape) * sigma
+    else:
+        rng_noise = 0.0
     with np.errstate(invalid="ignore"):
         dist = t_hit + rng_noise
 
@@ -241,6 +340,11 @@ def simulate_scan_np(
     rad_xy = np.linalg.norm(pts_sensor[:, :2], axis=1)
     valid = np.isfinite(dist) & (rad_xy >= lidar.min_distance) & \
         (rad_xy <= lidar.max_distance)
+    if dropout_point_p > 0:
+        valid &= rng.random(valid.shape) >= dropout_point_p
+    if dropout_ring_p > 0:
+        ring_alive = rng.random(R) >= dropout_ring_p
+        valid &= np.repeat(ring_alive, azimuth_steps)
 
     pts = pts_sensor.reshape(R, azimuth_steps, 3)
     val = valid.reshape(R, azimuth_steps)
@@ -270,7 +374,7 @@ def simulate_scan_np(
 def simulate_scan(world, pose_q, pose_t, lidar, azimuth_steps: int = 900,
                   elevation_limits: Tuple[float, float] = (-15.0, 15.0),
                   noise: float = 0.0, seed: int = 0,
-                  motion_per_rev=None) -> RingScan:
+                  motion_per_rev=None, **stressors) -> RingScan:
     """Simulate one revolution from the given pose.
 
     Points are emitted in sensor frame, ring-major with azimuth order
@@ -282,27 +386,31 @@ def simulate_scan(world, pose_q, pose_t, lidar, azimuth_steps: int = 900,
     import jax.numpy as jnp
 
     d = simulate_scan_np(world, pose_q, pose_t, lidar, azimuth_steps,
-                         elevation_limits, noise, seed, motion_per_rev)
+                         elevation_limits, noise, seed, motion_per_rev,
+                         **stressors)
     return RingScan(xyz=jnp.asarray(d["xyz"]),
                     intensity=jnp.asarray(d["intensity"]),
                     time=jnp.asarray(d["time"]), mask=jnp.asarray(d["mask"]))
 
 
 def _scan_job(args):
-    world, q, t, lidar, azimuth_steps, noise, seed = args
+    world, q, t, lidar, azimuth_steps, noise, seed, extra = args
     d = simulate_scan_np(world, q, t, lidar, azimuth_steps=azimuth_steps,
-                         noise=noise, seed=seed)
+                         noise=noise, seed=seed, **extra)
     return (d["xyz"].astype(np.float32), d["time"].astype(np.float32),
             d["mask"], d["intensity"].astype(np.float32))
 
 
 def simulate_sequence(world: World, poses, lidar: LidarConfig,
                       azimuth_steps: int = 900, noise: float = 0.0,
-                      workers: int = 0):
+                      workers: int = 0, **stressors):
     """Batch scan generation over a pose list, optionally on a process pool
     (the ray-cast is pure NumPy). Returns a list of (xyz f32, time f32,
-    mask, intensity f32) numpy tuples in pose order."""
-    jobs = [(world, q, t, lidar, azimuth_steps, noise, i)
+    mask, intensity f32) numpy tuples in pose order. ``stressors`` are
+    forwarded to simulate_scan_np (dropout/miscal/range-noise; ``t_abs``
+    is set per frame from the scan period so moving objects advance)."""
+    jobs = [(world, q, t, lidar, azimuth_steps, noise, i,
+             dict(stressors, t_abs=i * lidar.scan_period))
             for i, (q, t) in enumerate(poses)]
     if workers and len(jobs) > 1:
         import multiprocessing as mp
@@ -332,6 +440,38 @@ def circuit_trajectory(num_poses: int, radius: float = 40.0,
         poses.append((q, t))
         s = step * min(1.0, (i + 1) / max(ramp_frames, 1))
         th += s / radius
+    return poses
+
+
+def out_and_back_trajectory(length: float = 40.0, step: float = 0.8,
+                            center_z: float = 1.5, start_x: float = 3.0,
+                            turn_frames: int = 10, y: float = 0.0,
+                            ramp_frames: int = 6,
+                            ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Drive +x for ``length`` metres, U-turn over ``turn_frames`` on a
+    tight arc, drive back to the start — the revisit trajectory for the
+    corridor loop-closure scenario (accumulated along-corridor drift is
+    corrected only when the feature-rich start is re-observed)."""
+    poses: List[Tuple[np.ndarray, np.ndarray]] = []
+
+    def pose(yaw, x, yy):
+        q = np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
+        return q, np.array([x, yy, center_z])
+
+    x = start_x
+    i = 0
+    while x < start_x + length:
+        poses.append(pose(0.0, x, y))
+        i += 1
+        x += step * min(1.0, i / max(ramp_frames, 1))
+    r = 0.8  # U-turn arc radius (m)
+    for k in range(1, turn_frames + 1):
+        th = np.pi * k / turn_frames
+        poses.append(pose(th, x + r * np.sin(th), y + r * (1 - np.cos(th))))
+    xb = x
+    while xb > start_x:
+        xb -= step
+        poses.append(pose(np.pi, xb, y + 2 * r))
     return poses
 
 

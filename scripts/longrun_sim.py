@@ -26,7 +26,8 @@ _scan_cache: dict = {}
 def run_longrun(frames: int = 240, noise: float = 0.0, azimuth_steps: int = 720,
                 num_buildings: int = 16, workers: int = 2, ba: bool = True,
                 progress_every: int = 0, cfg=None, ba_overrides=None,
-                return_timers: bool = False):
+                return_timers: bool = False, with_global_map: bool = False,
+                output_dir=None, sim_stressors=None, moving_objects: int = 0):
     """Returns dict with ate_m, ate_odom_m, drift_pct, scans_per_sec.
 
     ``cfg`` overrides the default kitti_hdl64 config; ``ba_overrides`` is a
@@ -43,14 +44,32 @@ def run_longrun(frames: int = 240, noise: float = 0.0, azimuth_steps: int = 720,
     cfg = cfg or FloamConfig.kitti_hdl64()
     world = sim.World.outdoor(extent=200.0, num_buildings=num_buildings,
                               num_poles=36, path_radius=40.0, seed=0)
+    if moving_objects:
+        # pedestrian/vehicle-like movers crossing the corridor (the
+        # dynamic-object stressor real data has; sim realism matrix)
+        rng = np.random.default_rng(42)
+        cyls = list(world.cylinders)
+        for _ in range(moving_objects):
+            ang = rng.uniform(0, 2 * np.pi)
+            r = 40.0 + rng.uniform(-6.0, 6.0)
+            speed = rng.uniform(0.5, 2.0)
+            va = rng.uniform(0, 2 * np.pi)
+            cyls.append(sim.Cylinder(
+                float(r * np.cos(ang)), float(r * np.sin(ang)),
+                float(rng.uniform(0.15, 0.4)), 0.0,
+                float(rng.uniform(1.0, 2.0)),
+                vx=float(speed * np.cos(va)), vy=float(speed * np.sin(va))))
+        world = dataclasses.replace(world, cylinders=cyls)
     gt = sim.circuit_trajectory(frames, radius=40.0, step=1.25, center_z=1.8)
 
     t0 = time.perf_counter()
-    key = (frames, noise, azimuth_steps, num_buildings)
+    stress = dict(sim_stressors or {})
+    key = (frames, noise, azimuth_steps, num_buildings, moving_objects,
+           tuple(sorted(stress.items())))
     if key not in _scan_cache:
         _scan_cache[key] = sim.simulate_sequence(
             world, gt, cfg.lidar, azimuth_steps=azimuth_steps, noise=noise,
-            workers=workers)
+            workers=workers, **stress)
     raw = _scan_cache[key]
     gen_s = time.perf_counter() - t0
 
@@ -77,7 +96,8 @@ def run_longrun(frames: int = 240, noise: float = 0.0, azimuth_steps: int = 720,
         over.setdefault("enabled", True)
         cfg = dataclasses.replace(
             cfg, ba=dataclasses.replace(cfg.ba, **over))
-    runner = SequenceRunner(cfg)
+    runner = SequenceRunner(cfg, with_global_map=with_global_map,
+                            output_dir=output_dir)
     gt_q = np.stack([q for q, _ in gt])
     gt_t = np.stack([t for _, t in gt])
     res = runner.run(scan_stream(), gt=(gt_q, gt_t),
@@ -93,6 +113,9 @@ def run_longrun(frames: int = 240, noise: float = 0.0, azimuth_steps: int = 720,
         "longrun_rate_steady": round(res.scans_per_sec_steady, 2),
         "sim_gen_s": round(gen_s, 1),
     }
+    if with_global_map:
+        out["map_points"] = int(runner.global_map.num_points)
+        out["map_blocks"] = int(runner.global_map.num_blocks)
     if return_timers:
         out["timers_ms"] = {k: round(v * 1e3)
                             for k, v in runner.timers.totals.items()}

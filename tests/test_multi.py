@@ -106,3 +106,112 @@ def test_multi_with_sharded_ba(tmp_path):
 def test_build_mesh_virtual():
     mesh = build_mesh(8)
     assert mesh.shape["dp"] == 8
+
+
+@pytest.mark.slow
+def test_multi_q16_wire_and_uneven_lanes(tmp_path):
+    """q16 wire uploads through MultiSequenceRunner + a lane whose stream
+    ends early: the short lane's trajectory must be truncated to its real
+    frame count (no frozen-tail duplicates in exports/ATE) and match a
+    single-lane run of the same short stream."""
+    from floam_tpu.types import RingScan
+
+    cfg = _cfg(ba=False)
+    world = sim.World.room(size=18.0, height=4.0, num_poles=12, seed=1)
+    B, F = 4, 6
+    F_short = 4
+    gts = [sim.spiral_trajectory(F if b != 1 else F_short,
+                                 step=0.1 + 0.02 * b, yaw_rate=0.02)
+           for b in range(B)]
+
+    def wire_stream(b):
+        for i, (q, t) in enumerate(gts[b]):
+            d = sim.simulate_scan_np(world, q, t, cfg.lidar,
+                                     azimuth_steps=360, seed=100 * b + i)
+            yield i * 0.1, RingScan.pack_host_q16(
+                d["xyz"], d["time"], d["mask"], d["intensity"], cols=512,
+                range_m=cfg.lidar.max_distance)
+
+    out = tmp_path / "multi_q16"
+    runner = MultiSequenceRunner(cfg, lanes=B, n_devices=4, output_dir=out,
+                                 dtype=jnp.float32)
+    results = runner.run([wire_stream(b) for b in range(B)])
+    assert len(results[1].stamps) == F_short
+    assert all(len(results[b].stamps) == F for b in range(B) if b != 1)
+
+    # short lane matches a fresh single-lane run on the same wire stream
+    single = SequenceRunner(cfg, dtype=jnp.float32)
+    res_s = single.run(wire_stream(1))
+    np.testing.assert_allclose(results[1].trans, res_s.trans, atol=5e-3)
+
+    summary = json.loads(
+        (out / "seq_01" / "summary.json").read_text())
+    assert summary["frames"] == F_short
+
+
+@pytest.mark.slow
+def test_multi_structor_deskew_matches_single(tmp_path):
+    """The structor_vlp16 preset (rotational IMU deskew + two-phase
+    velocity deskew — the reference's deployment config, README.md:9-16)
+    runs under MultiSequenceRunner; lanes match single-lane Pipeline runs
+    on the same skewed sweeps + IMU stream."""
+    from floam_tpu.config import DeskewConfig, FloamConfig
+    from floam_tpu.pipeline import Pipeline
+
+    base = small_config()
+    cfg = dataclasses.replace(
+        base,
+        odom=dataclasses.replace(base.odom, deskew=True),
+        deskew=DeskewConfig(enabled=True, extrinsic_rpy=(0.0, 0.0, 0.0)))
+    world = sim.World.room(size=18.0, height=4.0, num_poles=14, seed=1)
+    B, F = 2, 5
+    period = cfg.lidar.scan_period
+    yaw_rate = 0.8  # rad/s of in-sweep rotation (the smear deskew removes)
+    gt = sim.spiral_trajectory(F, step=0.12, yaw_rate=yaw_rate * period)
+
+    def frames(seed0):
+        out = []
+        for i, (q, t) in enumerate(gt):
+            nxt = gt[i + 1][1] if i + 1 < F else t + (t - gt[i - 1][1])
+            motion = ((np.asarray(nxt) - np.asarray(t)) / period,
+                      np.array([0.0, 0.0, yaw_rate]))
+            s = sim.simulate_scan(world, q, t, cfg.lidar, azimuth_steps=360,
+                                  seed=seed0 + i, motion_per_rev=motion)
+            out.append(s)
+        return out
+
+    # shared world-frame IMU orientation stream (both lanes fly the same
+    # trajectory here; per-lane streams are per-lane ImuStreams). Starts
+    # AFTER frame 0's sweep begin so BOTH paths skip deskew on the seed
+    # frame (the multi runner always skips it at init by design)
+    t_imu = np.arange(0.02, F * period + 0.2, 1.0 / 100.0)
+    yaw = yaw_rate * t_imu
+    quats = np.stack([np.cos(yaw / 2), np.zeros_like(yaw),
+                      np.zeros_like(yaw), np.sin(yaw / 2)], axis=1)
+
+    lane_frames = [frames(0) for _ in range(B)]  # identical lanes
+
+    def lane_stream(b):
+        fed = 0
+        for i, s in enumerate(lane_frames[b]):
+            stamp = i * period
+            # feed IMU covering this scan with the item (deterministic)
+            hi = np.searchsorted(t_imu, stamp + 2 * period)
+            batch = [(float(t_imu[k]), quats[k]) for k in range(fed, hi)]
+            fed = hi
+            yield stamp, s, batch
+
+    runner = MultiSequenceRunner(cfg, lanes=B, n_devices=2,
+                                 dtype=jnp.float64)
+    results = runner.run([lane_stream(b) for b in range(B)])
+
+    # single-lane reference: Pipeline with the same scans + IMU stream
+    pipe = Pipeline(cfg, dtype=jnp.float64)
+    for ts_, qv in zip(t_imu, quats):
+        pipe.add_imu(float(ts_), qv)
+    for i, s in enumerate(lane_frames[0]):
+        pipe.process(s, i * period)
+    _, qs, ts = pipe.trajectory()
+    np.testing.assert_allclose(results[0].trans, ts, atol=2e-2)
+    np.testing.assert_allclose(results[1].trans, results[0].trans,
+                               atol=1e-9)

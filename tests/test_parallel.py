@@ -164,6 +164,7 @@ def test_ba_refine_converges(rng):
         assert float(se3.rotation_angle(dq)) < 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_ba_matches_single_device(rng):
     cfg = OdomConfig(loss="none")
     prob, gt_q, gt_t = _window_problem(rng, Ne=64, Ns=256)
@@ -180,6 +181,7 @@ def test_sharded_ba_matches_single_device(rng):
                                np.asarray(out_single.quats), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_map_sharded_step_matches_single(rng):
     """Bucket-range map sharding: the 8-device map-sharded step must match
     the single-device step (views all-gathered over the mesh, factor
@@ -221,6 +223,7 @@ def test_map_sharded_step_matches_single(rng):
     assert occ_sh == occ_ref
 
 
+@pytest.mark.slow
 def test_hierarchical_map_sharded_step_matches_single(rng):
     """Two-tier (host x chip) layout: map planes sharded over the intra-host
     axis and replicated across hosts, queries sliced over hosts, normal
