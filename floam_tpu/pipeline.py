@@ -228,7 +228,7 @@ class Pipeline:
     def __init__(self, cfg: FloamConfig, dtype=jnp.float32,
                  collect_clouds: bool = False, cloud_flush_every: int = 32,
                  keep_clouds: Optional[bool] = None,
-                 spool_path=None):
+                 spool_path=None, max_inflight: int = 128):
         """``collect_clouds``: the jitted step additionally RETURNS the
         per-scan feature clouds (device buffers; +~0.7 ms/frame — needed
         by windowed BA and by cloud-bearing exports). ``keep_clouds``
@@ -240,8 +240,19 @@ class Pipeline:
         RSS stays O(one chunk) for arbitrarily long runs (the fix for the
         reference's unbounded exit-time Dump, odomEstimationNode.cpp:
         284-287). BA-only runs pass keep_clouds=False and do ZERO cloud
-        device->host traffic."""
+        device->host traffic.
+
+        ``max_inflight`` bounds how far the async dispatch loop may run
+        AHEAD of actual device execution: every in-flight step pins its
+        upload chunk and cloud buffers on the host, so an unthrottled
+        producer-paced loop grows RSS linearly with run length (measured
+        ~0.6 MB/frame on the 2,400-frame endurance run,
+        docs/endurance.jsonl). Every 16 frames the loop waits for the
+        step dispatched ``max_inflight`` frames ago — a no-op when the
+        device keeps up, a bounded stall (instead of unbounded memory)
+        when it does not. 0 disables."""
         self.cfg = cfg
+        self._max_inflight = max_inflight
         self.dtype = dtype
         self.state = odometry.init_state(cfg, dtype)
         self._step = jax.jit(
@@ -346,6 +357,11 @@ class Pipeline:
         self.frames.append(rec)
         if len(self._pending_clouds) >= self._cloud_flush_every:
             self._flush_clouds()
+        k = len(self.frames)
+        if self._max_inflight and k > self._max_inflight and k % 16 == 0:
+            lag_row = self.frames[k - 1 - self._max_inflight]._row
+            if not isinstance(lag_row, np.ndarray):
+                jax.block_until_ready(lag_row)
         return rec
 
     def _ensure_fetch_thread(self):
