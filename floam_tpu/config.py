@@ -200,6 +200,14 @@ class MappingConfig:
     block_capacity: int = 131072
     #: batch capacity for per-scan point binning
     scan_capacity: int = 147456  # 64 * 2304
+    #: keep every Nth point of a keyframe cloud in the streaming map feed
+    #: (1 = full cloud, the reference's behavior). The map voxel-filters
+    #: to ``map_resolution`` anyway, so points past ~1 per voxel only
+    #: refine the running mean; stride 2 halves the host feed cost for a
+    #: ~2% map-point loss (measured, docs/PERFORMANCE.md round 5) —
+    #: useful on host-CPU-starved deployments where the feed worker
+    #: contends with the frame loop.
+    feed_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

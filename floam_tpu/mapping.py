@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import MappingConfig
-from .ops import se3, voxel
+from .ops import se3
 from .types import Pose
 
 
@@ -39,10 +39,6 @@ def _bin_points(xyz, intensity, mask, pose_q, pose_t, cell_size: float):
     inten = jnp.minimum(1.0, jnp.maximum(xyz[:, 2] + 2.0, 0.0) / 5.0)
     block = jnp.floor(world / cell_size + 0.5).astype(jnp.int32)
     return world, inten, block
-
-
-def _next_pow2(n: int) -> int:
-    return 1 << max(n - 1, 1).bit_length()
 
 
 def block_owner(key: Tuple[int, int, int], shard_count: int) -> int:
@@ -114,10 +110,17 @@ class GlobalMap:
         (~0.5 MB quantized) are decoded on the host, so the mapping feed
         never pays the ~3.5 MB/keyframe decoded-plane device->host fetch
         (docs/PERFORMANCE.md tunnel numbers). Same math as
-        :func:`_bin_points` (reference :157-172)."""
-        xyz = np.asarray(xyz, np.float64).reshape(-1, 3)
+        :func:`_bin_points` (reference :157-172).
+
+        This runs on the mapping worker thread, which contends with the
+        frame loop / producer threads for host CPU — so the point math is
+        f32 (the rotation itself is composed in f64; sub-mm at km scale)
+        and ``cfg.feed_stride`` can thin the feed."""
+        xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
         if mask is not None:
             xyz = xyz[np.asarray(mask).reshape(-1)]
+        if self.cfg.feed_stride > 1:
+            xyz = xyz[::self.cfg.feed_stride]
         q = np.asarray(pose_q, np.float64)
         w, x, y, z = q
         R = np.array([
@@ -127,8 +130,8 @@ class GlobalMap:
              2 * (y * z - w * x)],
             [2 * (x * z - w * y), 2 * (y * z + w * x),
              1 - 2 * (x * x + y * y)]])
-        world = (xyz @ R.T + np.asarray(pose_t, np.float64)).astype(
-            np.float32)
+        world = xyz @ R.T.astype(np.float32) + np.asarray(
+            pose_t, np.float32)
         inten = np.minimum(1.0, np.maximum(xyz[:, 2] + 2.0, 0.0)
                            / 5.0).astype(np.float32)
         block = np.floor(world / self.cfg.cell_size + 0.5).astype(np.int32)
@@ -202,40 +205,47 @@ class GlobalMap:
             todo.update(k for k in self._dirty if len(self.blocks[k]) > cap0)
         if not todo:
             return
-        groups: Dict[int, list] = {}
-        min_cap = min(cap0, 16384)
-        for key in todo:
-            cap = _next_pow2(max(len(self.blocks[key]), min_cap))
-            groups.setdefault(cap, []).append(key)
-        for cap, keys in sorted(groups.items()):
-            self._revoxelize_group(keys, cap)
+        self._revoxelize_blocks(sorted(todo))
 
-    def _revoxelize_group(self, keys: list, cap: int) -> None:
-        B = _next_pow2(len(keys))
-        stack = np.zeros((B, cap, 3), np.float32)
-        inten = np.zeros((B, cap), np.float32)
-        mask = np.zeros((B, cap), bool)
+    def _revoxelize_blocks(self, keys: list) -> None:
+        """HOST centroid-per-voxel downsample of the given blocks (XYZI
+        bincount over packed voxel ids — same math as the exporters'
+        ops.voxel.voxel_downsample_np).
+
+        Runs on the mapping worker thread. The device path it replaces
+        (vmapped ops.voxel.voxel_downsample per capacity group) paid a
+        compile per (batch, capacity) shape class as blocks grew, an
+        upload + download per batch, and serialized against the frame
+        loop's step dispatches on the device queue — measured ~5 s per
+        8-keyframe batch end to end vs ~10 ms here, which back-pressured
+        the whole full-SLAM product loop through the bounded map queue
+        (round-5 rate fix). The sharded multi-host map keeps its device
+        ingest path (parallel/sharded_map.py); this is the single-host
+        streaming feed, where the filter is pure host bookkeeping
+        (reference laserMappingClass.cpp:175-184 re-voxelizes on the CPU
+        for the same reason).
+        """
+        OFF = 1 << 20
+        res = self.cfg.map_resolution
         with self._lock:
             snap = {key: self.blocks[key] for key in keys}
-        for i, key in enumerate(keys):
-            pts = snap[key]
-            stack[i, :len(pts)] = pts[:, :3]
-            inten[i, :len(pts)] = pts[:, 3]
-            mask[i, :len(pts)] = True
-        # batched device re-voxelize; intensity carried via extra channel
-        out_xyz, out_mask, out_extra = jax.vmap(
-            lambda x, m, e: voxel.voxel_downsample(
-                x, m, self.cfg.map_resolution, cap, extra=e)
-        )(jnp.asarray(stack), jnp.asarray(mask), jnp.asarray(inten))
-        out_xyz = np.asarray(out_xyz)
-        out_mask = np.asarray(out_mask)
-        out_extra = np.asarray(out_extra)
+        out = {}
+        for key, pts in snap.items():
+            if len(pts) == 0:
+                continue
+            cell = np.floor(pts[:, :3] / res).astype(np.int64)
+            packed = (((cell[:, 0] + OFF) << 42)
+                      | ((cell[:, 1] + OFF) << 21)
+                      | (cell[:, 2] + OFF))
+            _, inv = np.unique(packed, return_inverse=True)
+            counts = np.bincount(inv).astype(np.float64)
+            cols = np.stack(
+                [np.bincount(inv, weights=pts[:, k].astype(np.float64))
+                 for k in range(4)], axis=1)
+            out[key] = (cols / counts[:, None]).astype(np.float32)
         with self._lock:
-            for i, key in enumerate(keys):
-                m = out_mask[i]
-                self.blocks[key] = np.concatenate(
-                    [out_xyz[i][m], out_extra[i][m]],
-                    axis=1).astype(np.float32)
+            for key, v in out.items():
+                self.blocks[key] = v
                 self._dirty.discard(key)
 
     # -- export (getMap, :188-200) ---------------------------------------

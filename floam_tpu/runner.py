@@ -23,7 +23,7 @@ import numpy as np
 from .config import FloamConfig
 from .mapping import GlobalMap
 from .pipeline import Pipeline
-from .types import RingScan
+from .types import HostBackedWire, RingScan
 from .utils.checkpoint import save_checkpoint
 from .utils.profiling import RateMeter
 
@@ -92,7 +92,12 @@ def chunked_device_stream(host_stream: Iterable[Tuple[float, np.ndarray]],
             devs = tuple(jnp.asarray(np.stack([p[k] for p in payloads]))
                          for k in range(len(payloads[0])))
             for j, s in enumerate(stamps):
-                yield s, tuple(d[j] for d in devs)
+                # carry the host source bytes alongside the device slices:
+                # host-side consumers (global-map feed) then cost zero
+                # device->host traffic (types.HostBackedWire)
+                item = HostBackedWire(tuple(d[j] for d in devs))
+                item.host = payloads[j]
+                yield s, item
         else:
             dev = jnp.asarray(np.stack(payloads))
             for j, s in enumerate(stamps):
@@ -186,7 +191,9 @@ class SequenceRunner:
         #: copy_to_host_async has had a whole batch of frames to complete
         #: — the read then costs ~0 instead of a blocking ~25 ms
         #: round trip (docs/PERFORMANCE.md)
-        self._kf_inflight = None
+        import collections
+
+        self._kf_inflight = collections.deque()
         #: host-side per-stage time attribution for the product loop (the
         #: reference's per-frame ms telemetry, odomEstimationNode.cpp:
         #: 226-234, broken down by stage)
@@ -244,10 +251,14 @@ class SequenceRunner:
         runner.pipe._initialized = len(st) > 0
         kf = load_kf_flags(path)
         for i in range(len(st)):
+            # rebuild full-width pose rows ([q, t, kf, drop counters] —
+            # FrameRecord layout): the counters of pre-checkpoint frames
+            # are not persisted, so they restore as 0
             row = np.concatenate([
                 np.asarray(qs[i], np.float64),
                 np.asarray(ts[i], np.float64),
-                [1.0 if (kf is not None and kf[i]) else 0.0]])
+                [1.0 if (kf is not None and kf[i]) else 0.0],
+                np.zeros((3,), np.float64)])
             runner.pipe.frames.append(FrameRecord(float(st[i]), row))
         return runner
 
@@ -372,25 +383,46 @@ class SequenceRunner:
         the frame loop by up to 2*kf_check_every frames — semantically
         fine: the global-map feed and BA window consume frame-indexed
         data, not loop position. ``final`` forces both phases through."""
-        self._consume_kf_inflight()
         if pending:
             stacked = jnp.stack([r._row for _, r, _, _ in pending])
             try:
                 stacked.copy_to_host_async()
             except AttributeError:  # older jax.Array without the hint
                 pass
-            self._kf_inflight = (list(pending), stacked)
+            self._kf_inflight.append((list(pending), stacked))
             pending.clear()
-        if final:
-            self._consume_kf_inflight()
+        self._consume_kf_inflight(final)
 
-    def _consume_kf_inflight(self) -> None:
-        if self._kf_inflight is None:
+    def _consume_kf_inflight(self, final: bool = False) -> None:
+        """Consume every in-flight flag batch whose device->host copy has
+        FINISHED (is_ready) — never block the frame loop on one that has
+        not (on a tunneled runtime the async-copy hint is not honored and
+        a blocking read costs a ~140 ms round trip per batch, measured).
+        Unready batches stay queued and are re-checked at the next drain;
+        ``final`` forces everything through. Keyframe handling can thus
+        lag the frame loop by any number of batches — semantically fine,
+        as the consumers are frame-indexed (see _drain_keyframes)."""
+        ready = []
+        while self._kf_inflight:
+            entries, stacked = self._kf_inflight[0]
+            if not final:
+                try:
+                    if not stacked.is_ready():
+                        break
+                except AttributeError:  # backend without is_ready
+                    pass
+            self._kf_inflight.popleft()
+            ready.append((entries, stacked))
+        if not ready:
             return
-        entries, stacked = self._kf_inflight
-        self._kf_inflight = None
+        # ONE device_get for every ready batch: per-call round-trip
+        # latency (tens of ms tunneled) is paid once, not per batch
         with self.timers.scope("kf_flag_fetch"):
-            rows = jax.device_get(stacked)
+            fetched = jax.device_get([st for _, st in ready])
+        for (entries, _), rows in zip(ready, fetched):
+            self._consume_kf_batch(entries, rows)
+
+    def _consume_kf_batch(self, entries, rows) -> None:
         # warn ONCE when the map hash table sheds points (row[10]): unlike
         # the scan budgets — whose truncation is the designed uniform
         # decimation, counted in summary.json but expected — a map-insert
@@ -611,7 +643,13 @@ class SequenceRunner:
         mask (N,), intensity (N,) | None): a RingScan (device or host), a
         packed (R, C, 5|6) f32 plane, or a quantized q16 wire tuple — the
         q16 fetch moves only the ~0.5 MB wire bytes and dequantizes on the
-        host (RingScan.unpack_host_q16)."""
+        host (RingScan.unpack_host_q16); a HostBackedWire (what
+        chunked_device_stream yields) decodes from its retained host
+        bytes at ZERO device->host cost."""
+        host = getattr(scan, "host", None)
+        if host is not None:  # HostBackedWire: no D2H at all
+            xyz, _, mask, inten = RingScan.unpack_host_q16(*host)
+            return xyz.reshape(-1, 3), mask.reshape(-1), inten.reshape(-1)
         if isinstance(scan, RingScan):
             xyz, mask, inten = jax.device_get(
                 (scan.xyz, scan.mask, scan.intensity))

@@ -311,3 +311,33 @@ def pad_points(xyz: np.ndarray, capacity: int, **extras) -> PointBatch:
         xyz=jnp.asarray(out), mask=jnp.asarray(mask),
         intensity=fields.get("intensity"), time=fields.get("time"),
     )
+
+
+class HostBackedWire(tuple):
+    """A q16 wire triple of DEVICE arrays that additionally carries the
+    host-side source bytes (``.host``: the (data, counts, meta) numpy
+    triple it was uploaded from).
+
+    Host-side consumers of the scan stream — the global-map feed
+    (runner._scan_host_cloud), the mapping analogue of the reference's
+    velodyneHandler (src/laserMappingNode.cpp:40-48) — would otherwise
+    device_get the very bytes this host just uploaded: a pointless
+    device->host round trip per keyframe that is brutal on a tunneled or
+    congested PCIe link (measured 0.1-30 MB/s D2H weather on the bench
+    runtime). Keeping the host copy alive alongside the device upload
+    makes those consumers zero-D2H; the cost is host RSS bounded by the
+    dispatch runahead (Pipeline max_inflight).
+
+    Inside jit the pytree registration below flattens it to its three
+    arrays (the host payload never enters the trace), so it can be fed
+    anywhere a plain wire tuple can.
+    """
+
+    host: tuple  # set by the producer after construction
+
+
+jax.tree_util.register_pytree_node(
+    HostBackedWire,
+    lambda t: (tuple(t), None),
+    lambda _, children: tuple(children),
+)
