@@ -465,6 +465,29 @@ class Pipeline:
         self._materialize_rows()
         return np.asarray([f.is_keyframe for f in self.frames])
 
+    def materialize_ready_rows(self) -> int:
+        """Fetch to host (one stacked transfer) every device-backed pose
+        row whose step has already EXECUTED — never blocking on in-flight
+        work. Returns the number of host-available frames afterwards.
+        Live-viz uses this: the snapshot may lag the loop by the dispatch
+        runahead, but the frame loop never stalls behind it."""
+        dev = []
+        for f in self.frames:
+            if isinstance(f._row, np.ndarray):
+                continue
+            try:
+                if not f._row.is_ready():
+                    continue
+            except AttributeError:
+                pass
+            dev.append(f)
+        if dev:
+            rows = jax.device_get(jnp.stack([f._row for f in dev]))
+            for f, row in zip(dev, rows):
+                f._row = np.asarray(row)
+        return sum(1 for f in self.frames
+                   if isinstance(f._row, np.ndarray))
+
     def materialize_records(self) -> None:
         """Fetch every device-backed frame-record field to host in a few
         stacked transfers (pose rows, factor counts) and cache them back,

@@ -449,13 +449,19 @@ class SequenceRunner:
     def _viz_update(self, stamp: float) -> None:
         """Publish a live snapshot (trajectory + map) — the analogue of the
         reference's /map republish + hector trajectory display, but
-        rate-limited and bounded instead of O(whole map) every frame."""
+        rate-limited and bounded instead of O(whole map) every frame
+        (laserMappingNode.cpp:85-92). Only frames whose pose rows have
+        already reached the host are drawn: a snapshot that lags the loop
+        by a drain batch is fine for a viewer, a stacked blocking fetch
+        of every in-flight row on the frame loop is not."""
         from . import odometry
 
-        self.pipe.materialize_records()
-        if not self.pipe.frames:
+        self.pipe.materialize_ready_rows()
+        frames = [f for f in self.pipe.frames
+                  if isinstance(f._row, np.ndarray)]
+        if not frames:
             return
-        traj = np.stack([f.pose_t for f in self.pipe.frames])
+        traj = np.stack([f.pose_t for f in frames])
         if self.global_map is not None and self.global_map.num_points:
             pts = self.global_map.get_map()
         else:
